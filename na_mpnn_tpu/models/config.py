@@ -1,0 +1,57 @@
+"""Model configuration for NA-MPNN TPU."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from .. import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters of the NA-MPNN network.
+
+    Defaults match the released models (reference design_model.json:35-43,
+    inference/run.py:184-197).
+    """
+    node_features: int = 128
+    edge_features: int = 128
+    hidden_dim: int = 128
+    num_encoder_layers: int = 3
+    num_decoder_layers: int = 3
+    k_neighbors: int = 32
+    vocab: int = constants.VOCAB_SIZE          # 33
+    num_letters: int = constants.NUM_LETTERS   # 33
+    num_rbf: int = 16
+    num_positional_embeddings: int = 16
+    max_relative_feature: int = 32
+    dropout: float = 0.1
+    # Per-polymer training-time coordinate noise (Å).
+    protein_augment_eps: float = 0.0
+    dna_augment_eps: float = 0.0
+    rna_augment_eps: float = 0.0
+    decode_protein_first: bool = False
+    na_ref_atom: str = "C1'"
+    include_pred_na_N: bool = True
+    num_polytypes: int = constants.NUM_POLYTYPES  # 6
+    # Compute dtype for the MPNN trunk ("float32" or "bfloat16"). Parameters
+    # and layer-norm statistics stay fp32; bf16 feeds the MXU at 2x rate.
+    compute_dtype: str = "float32"
+
+    @property
+    def total_atoms(self) -> int:
+        # 16 backbone atoms + virtual Cb + (optionally) virtual base-N.
+        return constants.NUM_BACKBONE_ATOMS + 1 + (1 if self.include_pred_na_N else 0)
+
+    @property
+    def edge_in(self) -> int:
+        # positional embedding + all-pair-atom RBF block
+        return self.num_positional_embeddings + self.num_rbf * self.total_atoms ** 2
+
+    @property
+    def node_in(self) -> int:
+        return self.num_polytypes
+
+    @property
+    def na_ref_atom_idx(self) -> int:
+        return constants.ATOM_DICT[self.na_ref_atom]

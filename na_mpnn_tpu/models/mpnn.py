@@ -1,0 +1,573 @@
+"""NA-MPNN model: teacher-forced forward, scoring, and autoregressive sampling.
+
+TPU-native re-design of the reference model (reference na_model_utils.py:519-646
+for training forward; inference/model_utils.py:71-424 for encode / sample /
+score / unconditional_probs). The key structural departures:
+
+* The O(L^2) decoding-order einsum (reference na_model_utils.py:623-631) is
+  replaced by an O(L*K) per-edge decode-rank comparison — identical semantics
+  (edge j->i carries sequence info iff j decodes strictly before i).
+* The Python per-position sampling loop (reference
+  inference/model_utils.py:164-216) becomes a single `lax.scan` over decode
+  steps, carrying the per-layer h_V stack; everything jit-compiles once.
+* Sampling uses JAX PRNG (`jax.random.categorical`) — a defined RNG contract
+  replacing torch.multinomial.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from .config import ModelConfig
+from .modules import (cat_neighbors_nodes, dec_layer_apply, enc_layer_apply,
+                      gather_nodes, init_dec_layer, init_enc_layer,
+                      init_linear, linear)
+from .features import features_apply, init_features
+
+# Token ints zeroed out during sampling (UNK, DX, RX, MAS, PAD);
+# reference inference/model_utils.py:199-203.
+_OMIT_ALWAYS = [
+    constants.RESTYPE_TO_INT["UNK"], constants.RESTYPE_TO_INT["DX"],
+    constants.RESTYPE_TO_INT["RX"], constants.RESTYPE_TO_INT["MAS"],
+    constants.RESTYPE_TO_INT["PAD"],
+]
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: ModelConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 6 + cfg.num_encoder_layers + cfg.num_decoder_layers)
+    params = {
+        "features": init_features(ks[0], cfg, dtype),
+        "W_v": init_linear(ks[1], cfg.node_features, cfg.hidden_dim, dtype=dtype),
+        "W_e": init_linear(ks[2], cfg.edge_features, cfg.hidden_dim, dtype=dtype),
+        # Embedding table [vocab, H] (reference W_s = nn.Embedding).
+        "W_s": {"emb": jax.random.normal(ks[3], (cfg.vocab, cfg.hidden_dim), dtype)},
+        "W_out": init_linear(ks[4], cfg.hidden_dim, cfg.num_letters, dtype=dtype),
+        "encoder": [
+            init_enc_layer(ks[5 + i], cfg.hidden_dim, cfg.hidden_dim * 2, dtype)
+            for i in range(cfg.num_encoder_layers)
+        ],
+        "decoder": [
+            init_dec_layer(ks[5 + cfg.num_encoder_layers + i], cfg.hidden_dim,
+                           cfg.hidden_dim * 3, dtype)
+            for i in range(cfg.num_decoder_layers)
+        ],
+    }
+    return params
+
+
+def embed_tokens(p, S):
+    return jnp.asarray(p["W_s"]["emb"])[S]
+
+
+# ---------------------------------------------------------------------------
+# Decode-order machinery
+# ---------------------------------------------------------------------------
+
+def sample_decoding_order(key, chain_mask):
+    """Random decode order: ascending argsort of (chain_mask+1e-4)*|randn| —
+    fixed (chain_mask==0) positions decode first (reference
+    na_model_utils.py:623)."""
+    randn = jax.random.normal(key, chain_mask.shape)
+    return jnp.argsort((chain_mask + 0.0001) * jnp.abs(randn), axis=-1)
+
+
+def decode_rank(decoding_order):
+    """rank[i] = time step at which position i decodes (inverse permutation)."""
+    return jnp.argsort(decoding_order, axis=-1)
+
+
+def autoregressive_edge_masks(decoding_order, E_idx, mask):
+    """Per-edge causal masks from the decode order.
+
+    mask_bw[b,i,k,0] = 1 iff neighbor j = E_idx[b,i,k] decodes strictly before
+    i (sequence-context edges); mask_fw = complementary (encoder-only edges).
+    Replaces the reference O(L^2) one-hot/triu einsum
+    (na_model_utils.py:624-631) with an O(L*K) rank comparison.
+    """
+    rank = decode_rank(decoding_order)  # [B,L]
+    B = rank.shape[0]
+    rank_j = jnp.take_along_axis(rank, E_idx.reshape(B, -1), axis=1).reshape(E_idx.shape)
+    attend = (rank_j < rank[:, :, None]).astype(jnp.float32)[..., None]  # [B,L,K,1]
+    mask_1d = mask.astype(jnp.float32)[:, :, None, None]
+    return mask_1d * attend, mask_1d * (1.0 - attend)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
+           deterministic: bool = True):
+    """Features + encoder stack -> (h_V [B,L,H], h_E [B,L,K,H], E_idx).
+
+    Mirrors reference encode (inference/model_utils.py:71-99) /
+    the first half of forward (na_model_utils.py:596-608).
+    """
+    if key is not None:
+        key_feat, key_layers = jax.random.split(key)
+        layer_keys = jax.random.split(key_layers, cfg.num_encoder_layers)
+    else:
+        key_feat, layer_keys = None, [None] * cfg.num_encoder_layers
+
+    mask = batch["mask"].astype(jnp.float32)
+    V, E, E_idx = features_apply(params["features"], cfg, batch, key_feat, deterministic)
+    h_V = linear(params["W_v"], V)
+    h_E = linear(params["W_e"], E)
+
+    mask_attend = gather_nodes(mask[..., None], E_idx)[..., 0]
+    mask_attend = mask[:, :, None] * mask_attend
+
+    def run_layer(layer_params, h_V, h_E, lkey):
+        return enc_layer_apply(layer_params, h_V, h_E, E_idx, mask, mask_attend,
+                               cfg.dropout, lkey, deterministic)
+
+    for i, layer_params in enumerate(params["encoder"]):
+        if not deterministic:
+            # Rematerialize each encoder layer during training: trades FLOPs
+            # for HBM exactly like the reference's per-layer
+            # torch.utils.checkpoint (na_model_utils.py:606).
+            h_V, h_E = jax.checkpoint(run_layer)(layer_params, h_V, h_E, layer_keys[i])
+        else:
+            h_V, h_E = run_layer(layer_params, h_V, h_E, layer_keys[i])
+    return h_V, h_E, E_idx
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forced decode (training forward & scoring)
+# ---------------------------------------------------------------------------
+
+def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
+                      layer_keys, deterministic):
+    """Parallel (teacher-forced) decoder: known positions see sequence-embedded
+    edges, future positions see encoder-only edges
+    (reference na_model_utils.py:632-639)."""
+    h_ES = cat_neighbors_nodes(h_S, h_E, E_idx)
+    h_EX_encoder = cat_neighbors_nodes(jnp.zeros_like(h_S), h_E, E_idx)
+    h_EXV_encoder = cat_neighbors_nodes(h_V, h_EX_encoder, E_idx)
+    h_EXV_encoder_fw = mask_fw * h_EXV_encoder
+
+    def run_layer(layer_params, h_V, lkey):
+        h_ESV = cat_neighbors_nodes(h_V, h_ES, E_idx)
+        h_ESV = mask_bw * h_ESV + h_EXV_encoder_fw
+        return dec_layer_apply(layer_params, h_V, h_ESV, mask, None,
+                               cfg.dropout, lkey, deterministic)
+
+    for i, layer_params in enumerate(params["decoder"]):
+        if not deterministic:
+            h_V = jax.checkpoint(run_layer)(layer_params, h_V, layer_keys[i])
+        else:
+            h_V = run_layer(layer_params, h_V, layer_keys[i])
+    return h_V
+
+
+def forward(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
+            deterministic: bool = True):
+    """Training forward pass -> (log_probs, probs), both [B,L,num_letters].
+
+    Mirrors reference ProteinMPNN.forward (na_model_utils.py:589-646). The
+    random decode order is drawn from `key` unless batch["decoding_order"]
+    is provided (useful for parity tests and deterministic replay).
+    """
+    if key is not None:
+        key_enc, key_order, key_dec = jax.random.split(key, 3)
+        dec_keys = jax.random.split(key_dec, cfg.num_decoder_layers)
+    else:
+        key_enc, key_order, dec_keys = None, None, [None] * cfg.num_decoder_layers
+
+    mask = batch["mask"].astype(jnp.float32)
+    h_V, h_E, E_idx = encode(params, cfg, batch, key_enc, deterministic)
+    h_S = embed_tokens(params, batch["S"])
+
+    chain_M = mask
+    if cfg.decode_protein_first:
+        chain_M = chain_M * (1.0 - batch["protein_mask"].astype(jnp.float32))
+
+    if "decoding_order" in batch:
+        decoding_order = batch["decoding_order"]
+    else:
+        if key_order is None:  # deterministic replay default
+            key_order = jax.random.PRNGKey(0)
+        decoding_order = sample_decoding_order(key_order, chain_M)
+
+    mask_bw, mask_fw = autoregressive_edge_masks(decoding_order, E_idx, mask)
+    h_V = _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S,
+                            mask_bw, mask_fw, dec_keys, deterministic)
+
+    logits = linear(params["W_out"], h_V)
+    return jax.nn.log_softmax(logits, axis=-1), jax.nn.softmax(logits, axis=-1)
+
+
+def score(params, cfg: ModelConfig, batch, decoding_order=None,
+          key: Optional[jax.Array] = None):
+    """Teacher-forced scoring of batch["S"] under a (random or given) decode
+    order (reference score, inference/model_utils.py:366-424). Eval mode only.
+    Returns {"S", "log_probs", "decoding_order"}.
+    """
+    mask = batch["mask"].astype(jnp.float32)
+    chain_mask = mask * batch["chain_mask"].astype(jnp.float32)
+    h_V, h_E, E_idx = encode(params, cfg, batch)
+    if decoding_order is None:
+        decoding_order = sample_decoding_order(key, chain_mask)
+    mask_bw, mask_fw = autoregressive_edge_masks(decoding_order, E_idx, mask)
+    h_S = embed_tokens(params, batch["S"])
+    h_V = _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw,
+                            mask_fw, [None] * cfg.num_decoder_layers, True)
+    logits = linear(params["W_out"], h_V)
+    return {
+        "S": batch["S"],
+        "log_probs": jax.nn.log_softmax(logits, axis=-1),
+        "decoding_order": decoding_order,
+    }
+
+
+def unconditional_probs(params, cfg: ModelConfig, batch):
+    """Decoder with zero sequence context everywhere
+    (reference unconditional_probs, inference/model_utils.py:329-364)."""
+    mask = batch["mask"].astype(jnp.float32)
+    h_V, h_E, E_idx = encode(params, cfg, batch)
+    B, L, K = E_idx.shape
+    mask_fw = mask[:, :, None, None] * jnp.ones((B, L, K, 1), jnp.float32)
+    h_EX_encoder = cat_neighbors_nodes(jnp.zeros_like(h_V), h_E, E_idx)
+    h_EXV_encoder = cat_neighbors_nodes(h_V, h_EX_encoder, E_idx)
+    h_EXV_encoder_fw = mask_fw * h_EXV_encoder
+    for layer_params in params["decoder"]:
+        h_V = dec_layer_apply(layer_params, h_V, h_EXV_encoder_fw, mask)
+    logits = linear(params["W_out"], h_V)
+    return {"log_probs": jax.nn.log_softmax(logits, axis=-1)}
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive sampling (lax.scan over decode steps)
+# ---------------------------------------------------------------------------
+
+def _pair_bias_step(pair_bias_ctx, t, S):
+    """O(1)-per-step neighbor pair bias.
+
+    The reference materializes a [1,L,33,L,33] tensor whose only nonzeros sit
+    on the sequence-adjacent diagonals (inference/data_utils.py:7-16) and
+    reduces it per step (inference/model_utils.py:169-172). Here we evaluate
+    the same sum directly from the diagonal structure:
+      bias_t[a] = u[t]   * P[a, S[t+1]]      (next residue, same chain)
+                + l[t-1] * P[S[t-1], a]      (previous residue, same chain)
+    where P = pair_bias_AA and u/l are the adjacency indicators.
+    """
+    P, u_diag = pair_bias_ctx["pair_bias_AA"], pair_bias_ctx["u_diag"]
+    B, L = S.shape
+    nl = P.shape[0]
+    t_next = jnp.minimum(t + 1, L - 1)
+    t_prev = jnp.maximum(t - 1, 0)
+    S_next = jnp.take_along_axis(S, t_next[:, None], axis=1)[:, 0]
+    S_prev = jnp.take_along_axis(S, t_prev[:, None], axis=1)[:, 0]
+    u_t = u_diag[jnp.minimum(t, L - 2)] * (t < L - 1)
+    l_t = u_diag[jnp.maximum(t - 1, 0)] * (t > 0)
+    fwd = u_t[:, None] * P[:, S_next].T.reshape(B, nl)
+    bwd = l_t[:, None] * P[S_prev, :].reshape(B, nl)
+    return fwd + bwd
+
+
+def sample(params, cfg: ModelConfig, batch, key, num_samples: int = 1,
+           temperature=0.1, bias=None, pair_bias_ctx=None):
+    """Autoregressive sampling -> {"S", "sampling_probs", "log_probs",
+    "decoding_order"}; all [num_samples,L,...]. Mirrors reference sample
+    (inference/model_utils.py:101-218) as a single `lax.scan`: the structure
+    is encoded once (batch dim 1) and the encoder outputs are tiled to the
+    decode batch, each replica drawing its own decode order.
+
+    `bias` is [L,num_letters] (or [num_samples,L,num_letters]); fixed
+    positions (chain_mask==0) keep batch["S"].
+    """
+    L = batch["S"].shape[-1]
+    B = num_samples
+    nl = cfg.num_letters
+
+    key_order, key_steps = jax.random.split(key)
+
+    h_V0, h_E, E_idx = encode(params, cfg, batch)
+    # Tile single-structure encode outputs to the decode batch.
+    h_V0 = jnp.broadcast_to(h_V0[0], (B,) + h_V0.shape[1:])
+    h_E = jnp.broadcast_to(h_E[0], (B,) + h_E.shape[1:])
+    E_idx = jnp.broadcast_to(E_idx[0], (B,) + E_idx.shape[1:])
+    mask = jnp.broadcast_to(batch["mask"][0], (B, L)).astype(jnp.float32)
+    chain_mask = mask * jnp.broadcast_to(
+        batch["chain_mask"][0], (B, L)).astype(jnp.float32)
+    S_true = jnp.broadcast_to(batch["S"][0], (B, L))
+
+    if "decoding_order" in batch:
+        decoding_order = jnp.broadcast_to(batch["decoding_order"], (B, L))
+    else:
+        decoding_order = sample_decoding_order(key_order, chain_mask)
+    mask_bw, mask_fw = autoregressive_edge_masks(decoding_order, E_idx, mask)
+
+    h_EX_encoder = cat_neighbors_nodes(jnp.zeros_like(h_V0), h_E, E_idx)
+    h_EXV_encoder = cat_neighbors_nodes(h_V0, h_EX_encoder, E_idx)
+    h_EXV_encoder_fw = mask_fw * h_EXV_encoder  # [B,L,K,3H]
+
+    fdtype = h_V0.dtype
+    if bias is None:
+        bias = jnp.zeros((B, L, nl), fdtype)
+    else:
+        bias = jnp.broadcast_to(bias, (B, L, nl)).astype(fdtype)
+
+    n_dec = cfg.num_decoder_layers
+    H = cfg.hidden_dim
+    omit = jnp.zeros((nl,), fdtype).at[jnp.asarray(_OMIT_ALWAYS)].set(1.0)
+
+    init_carry = {
+        "h_V_stack": jnp.concatenate(
+            [h_V0[None], jnp.zeros((n_dec, B, L, H), fdtype)], axis=0),
+        "h_S": jnp.zeros((B, L, H), fdtype),
+        "S": jnp.full((B, L), nl - 1, jnp.int32),
+        "all_probs": jnp.zeros((B, L, nl), fdtype),
+        "all_log_probs": jnp.zeros((B, L, nl), fdtype),
+    }
+    step_keys = jax.random.split(key_steps, L)
+    b_idx = jnp.arange(B)
+
+    def step(carry, inp):
+        t_step, skey = inp
+        t = decoding_order[:, t_step]                    # [B]
+        chain_mask_t = chain_mask[b_idx, t]              # [B]
+        mask_t = mask[b_idx, t]                          # [B]
+        bias_t = bias[b_idx, t]                          # [B,nl]
+        E_idx_t = E_idx[b_idx, t][:, None, :]            # [B,1,K]
+        h_E_t = h_E[b_idx, t][:, None]                   # [B,1,K,H]
+        h_ES_t = cat_neighbors_nodes(carry["h_S"], h_E_t, E_idx_t)
+        h_EXV_t = h_EXV_encoder_fw[b_idx, t][:, None]    # [B,1,K,3H]
+        mask_bw_t = mask_bw[b_idx, t][:, None]           # [B,1,K,1]
+
+        h_V_stack = carry["h_V_stack"]
+        for l, layer_params in enumerate(params["decoder"]):
+            h_ESV_dec_t = cat_neighbors_nodes(h_V_stack[l], h_ES_t, E_idx_t)
+            h_V_t = h_V_stack[l][b_idx, t][:, None]      # [B,1,H]
+            h_ESV_t = mask_bw_t * h_ESV_dec_t + h_EXV_t
+            out = dec_layer_apply(layer_params, h_V_t, h_ESV_t, mask_V=mask_t[:, None])
+            h_V_stack = h_V_stack.at[l + 1, b_idx, t].set(out[:, 0])
+
+        h_V_t = h_V_stack[n_dec, b_idx, t]               # [B,H]
+        logits = linear(params["W_out"], h_V_t)          # [B,nl]
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+
+        total_bias = bias_t
+        if pair_bias_ctx is not None:
+            total_bias = total_bias + _pair_bias_step(pair_bias_ctx, t, carry["S"])
+        probs = jax.nn.softmax((logits + total_bias) / temperature, axis=-1)
+        probs = probs * (1.0 - omit)
+        probs_sample = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+        S_t = jax.random.categorical(skey, jnp.log(probs_sample + 1e-30), axis=-1)
+        S_true_t = S_true[b_idx, t]
+        S_t = jnp.where(chain_mask_t > 0, S_t, S_true_t).astype(jnp.int32)
+
+        carry = {
+            "h_V_stack": h_V_stack,
+            "h_S": carry["h_S"].at[b_idx, t].set(embed_tokens(params, S_t)),
+            "S": carry["S"].at[b_idx, t].set(S_t),
+            "all_probs": carry["all_probs"].at[b_idx, t].set(
+                chain_mask_t[:, None] * probs_sample),
+            "all_log_probs": carry["all_log_probs"].at[b_idx, t].set(
+                chain_mask_t[:, None] * log_probs),
+        }
+        return carry, None
+
+    carry, _ = jax.lax.scan(step, init_carry, (jnp.arange(L), step_keys))
+
+    # The reference never writes the PAD column of sampling_probs
+    # (scatter over num_letters-1; inference/model_utils.py:211) — it is zero
+    # there too since PAD is omitted, so semantics agree.
+    return {
+        "S": carry["S"],
+        "sampling_probs": carry["all_probs"],
+        "log_probs": carry["all_log_probs"],
+        "decoding_order": decoding_order,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Tied-position (symmetry) sampling
+# ---------------------------------------------------------------------------
+
+def build_decode_groups(decoding_order, symmetry_residues, symmetry_weights, L):
+    """Host-side: group the decode order by symmetry-tied position sets.
+
+    Mirrors reference inference/model_utils.py:226-235: walk the base order;
+    the first time a member of a tied set appears, its whole set decodes as
+    one group. Returns (groups [G,M] int32 padded with -1, weights [G,M]
+    float32, flat_order [L]).
+    """
+    import numpy as np
+
+    order = [int(t) for t in np.asarray(decoding_order).reshape(-1)]
+    sym_sets = [list(s) for s in symmetry_residues if len(s) > 0]
+    sym_w = [list(w) for w in symmetry_weights if len(w) > 0]
+    new_groups = []
+    seen = set()
+    for t in order:
+        if t in seen:
+            continue
+        hit = None
+        for i, s in enumerate(sym_sets):
+            if t in s:
+                hit = i
+                break
+        if hit is not None:
+            g = sym_sets[hit]
+            w = sym_w[hit] if hit < len(sym_w) else [1.0] * len(g)
+        else:
+            g, w = [t], [1.0]
+        for x in g:
+            seen.add(x)
+        new_groups.append((g, w))
+    M = max(len(g) for g, _ in new_groups)
+    G = len(new_groups)
+    groups = np.full((G, M), -1, np.int32)
+    weights = np.zeros((G, M), np.float32)
+    for i, (g, w) in enumerate(new_groups):
+        groups[i, :len(g)] = g
+        weights[i, :len(g)] = w
+    flat = np.concatenate([np.asarray(g, np.int32) for g, _ in new_groups])
+    assert flat.shape[0] == L, "decode groups must cover every position exactly once"
+    return groups, weights, flat
+
+
+def sample_tied(params, cfg: ModelConfig, batch, key, groups, group_weights,
+                flat_order, num_samples: int = 1, temperature=0.1, bias=None,
+                pair_bias_ctx=None):
+    """Symmetry-tied autoregressive sampling (reference
+    inference/model_utils.py:219-327): tied positions decode together, their
+    weighted logits are summed, one token is drawn for the whole group.
+
+    groups: [G,M] int32 (pad -1); group_weights: [G,M] float; flat_order: [L]
+    (the shared decode order). All decode replicas share the order, matching
+    the reference.
+    """
+    L = batch["S"].shape[-1]
+    B = num_samples
+    nl = cfg.num_letters
+    G, M = groups.shape
+
+    h_V0, h_E, E_idx = encode(params, cfg, batch)
+    h_V0 = jnp.broadcast_to(h_V0[0], (B,) + h_V0.shape[1:])
+    h_E = jnp.broadcast_to(h_E[0], (B,) + h_E.shape[1:])
+    E_idx = jnp.broadcast_to(E_idx[0], (B,) + E_idx.shape[1:])
+    mask = jnp.broadcast_to(batch["mask"][0], (B, L)).astype(jnp.float32)
+    chain_mask = mask * jnp.broadcast_to(
+        batch["chain_mask"][0], (B, L)).astype(jnp.float32)
+    S_true = jnp.broadcast_to(batch["S"][0], (B, L))
+
+    decoding_order = jnp.broadcast_to(jnp.asarray(flat_order, jnp.int32), (B, L))
+    mask_bw, mask_fw = autoregressive_edge_masks(decoding_order, E_idx, mask)
+
+    h_EX_encoder = cat_neighbors_nodes(jnp.zeros_like(h_V0), h_E, E_idx)
+    h_EXV_encoder = cat_neighbors_nodes(h_V0, h_EX_encoder, E_idx)
+    h_EXV_encoder_fw = mask_fw * h_EXV_encoder
+
+    fdtype = h_V0.dtype
+    if bias is None:
+        bias = jnp.zeros((B, L, nl), fdtype)
+    else:
+        bias = jnp.broadcast_to(bias, (B, L, nl)).astype(fdtype)
+
+    n_dec = cfg.num_decoder_layers
+    H = cfg.hidden_dim
+    omit = jnp.zeros((nl,), fdtype).at[jnp.asarray(_OMIT_ALWAYS)].set(1.0)
+    groups_j = jnp.asarray(groups, jnp.int32)
+    weights_j = jnp.asarray(group_weights, fdtype)
+    b_idx = jnp.arange(B)
+
+    init_carry = {
+        "h_V_stack": jnp.concatenate(
+            [h_V0[None], jnp.zeros((n_dec, B, L, H), fdtype)], axis=0),
+        "h_S": jnp.zeros((B, L, H), fdtype),
+        "S": jnp.full((B, L), nl - 1, jnp.int32),
+        "all_probs": jnp.zeros((B, L, nl), fdtype),
+        "all_log_probs": jnp.zeros((B, L, nl), fdtype),
+    }
+    group_keys = jax.random.split(key, G)
+
+    def decode_position(carry, t, valid):
+        """Run the decoder stack at (broadcast) position t -> logits [B,nl].
+        Stack/h writes are gated on `valid` (pad slots are no-ops)."""
+        t_b = jnp.broadcast_to(t, (B,))
+        mask_t = mask[b_idx, t_b]
+        E_idx_t = E_idx[b_idx, t_b][:, None, :]
+        h_E_t = h_E[b_idx, t_b][:, None]
+        h_ES_t = cat_neighbors_nodes(carry["h_S"], h_E_t, E_idx_t)
+        h_EXV_t = h_EXV_encoder_fw[b_idx, t_b][:, None]
+        mask_bw_t = mask_bw[b_idx, t_b][:, None]
+        h_V_stack = carry["h_V_stack"]
+        for l, layer_params in enumerate(params["decoder"]):
+            h_ESV_dec_t = cat_neighbors_nodes(h_V_stack[l], h_ES_t, E_idx_t)
+            h_V_t = h_V_stack[l][b_idx, t_b][:, None]
+            h_ESV_t = mask_bw_t * h_ESV_dec_t + h_EXV_t
+            out = dec_layer_apply(layer_params, h_V_t, h_ESV_t, mask_V=mask_t[:, None])
+            new_val = jnp.where(valid, out[:, 0], h_V_stack[l + 1][b_idx, t_b])
+            h_V_stack = h_V_stack.at[l + 1, b_idx, t_b].set(new_val)
+        logits = linear(params["W_out"], h_V_stack[n_dec, b_idx, t_b])
+        return {**carry, "h_V_stack": h_V_stack}, logits
+
+    def group_step(carry, inp):
+        g_idx, gkey = inp
+        ts = groups_j[g_idx]          # [M]
+        ws = weights_j[g_idx]         # [M]
+        total_logits = jnp.zeros((B, nl), fdtype)
+        bias_t = jnp.zeros((B, nl), fdtype)
+        pair_bias_t = jnp.zeros((B, nl), fdtype)
+        for m in range(M):
+            t_raw = ts[m]
+            valid = t_raw >= 0
+            t = jnp.maximum(t_raw, 0)
+            carry, logits = decode_position(carry, t, valid)
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            t_b = jnp.broadcast_to(t, (B,))
+            cm_t = chain_mask[b_idx, t_b]
+            carry = {**carry, "all_log_probs": jnp.where(
+                valid,
+                carry["all_log_probs"].at[b_idx, t_b].set(cm_t[:, None] * log_probs),
+                carry["all_log_probs"])}
+            total_logits = total_logits + jnp.where(valid, ws[m] * logits, 0.0)
+            # Reference keeps the *last* t's bias for the group softmax.
+            bias_t = jnp.where(valid, bias[b_idx, t_b], bias_t)
+            if pair_bias_ctx is not None:
+                pair_bias_t = jnp.where(
+                    valid, _pair_bias_step(pair_bias_ctx, t_b, carry["S"]), pair_bias_t)
+
+        probs = jax.nn.softmax((total_logits + bias_t + pair_bias_t) / temperature, axis=-1)
+        probs = probs * (1.0 - omit)
+        probs_sample = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        S_t = jax.random.categorical(gkey, jnp.log(probs_sample + 1e-30), axis=-1)
+        S_t = S_t.astype(jnp.int32)
+
+        h_S, S, all_probs = carry["h_S"], carry["S"], carry["all_probs"]
+        for m in range(M):
+            t_raw = ts[m]
+            valid = t_raw >= 0
+            t = jnp.maximum(t_raw, 0)
+            t_b = jnp.broadcast_to(t, (B,))
+            cm_t = chain_mask[b_idx, t_b]
+            all_probs = jnp.where(
+                valid, all_probs.at[b_idx, t_b].set(cm_t[:, None] * probs_sample),
+                all_probs)
+            S_true_t = S_true[b_idx, t_b]
+            # NOTE: S_t carries across tied positions, matching the reference's
+            # in-loop reassignment (inference/model_utils.py:318-324).
+            S_t = jnp.where(valid,
+                            jnp.where(cm_t > 0, S_t, S_true_t).astype(jnp.int32), S_t)
+            h_S = jnp.where(valid, h_S.at[b_idx, t_b].set(embed_tokens(params, S_t)), h_S)
+            S = jnp.where(valid, S.at[b_idx, t_b].set(S_t), S)
+        carry = {**carry, "h_S": h_S, "S": S, "all_probs": all_probs}
+        return carry, None
+
+    carry, _ = jax.lax.scan(group_step, init_carry, (jnp.arange(G), group_keys))
+    return {
+        "S": carry["S"],
+        "sampling_probs": carry["all_probs"],
+        "log_probs": carry["all_log_probs"],
+        "decoding_order": decoding_order,
+    }

@@ -1,0 +1,344 @@
+"""Training driver: JSON config -> pjit train loop with metrics/checkpoints.
+
+Equivalent of the reference driver (reference na_run.py) re-designed for TPU:
+* one jitted train step (forward + loss + grad + Noam-Adam update) with
+  donated params/opt-state, compiled once per length bucket;
+* data parallelism over a `jax.sharding.Mesh` "data" axis — batches are
+  sharded across chips with NamedSharding; gradients are combined by XLA's
+  automatic collectives (this replaces the reference's single-GPU loop;
+  no NCCL — ICI collectives are inserted by the compiler);
+* device-side metric accumulation (one host transfer per epoch);
+* npz checkpoints with the reference payload (epoch/step/save_step) plus
+  optional reference-format .pt export.
+
+The reference's AMP GradScaler (na_run.py:21,216-237) is replaced by bf16
+compute policy: TPUs do bf16 matmuls natively with fp32 accumulation, so no
+loss scaling is required.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import ModelConfig, forward, init_params
+from .checkpoint import (flatten_pytree, load_checkpoint_npz, save_checkpoint_npz,
+                         unflatten_pytree)
+from .collate import collate_batch
+from .losses import (compute_canonical_base_pair_accuracy, loss_nll,
+                     loss_smoothed, make_polymer_restype_masks, mask_for_loss)
+from .metrics import generate_metric_manager
+from .optimizer import make_optimizer
+
+
+def model_config_from_params(params: Dict) -> ModelConfig:
+    """Build a ModelConfig from a reference-style JSON param dict
+    (schema: design_model.json:1-56)."""
+    return ModelConfig(
+        node_features=params.get("HIDDEN_DIM", 128),
+        edge_features=params.get("HIDDEN_DIM", 128),
+        hidden_dim=params.get("HIDDEN_DIM", 128),
+        num_encoder_layers=params.get("NUM_ENCODER_LAYERS", 3),
+        num_decoder_layers=params.get("NUM_DECODER_LAYERS", 3),
+        k_neighbors=params.get("NUM_NEIGHBORS", 32),
+        vocab=params.get("VOCAB_SIZE", 33),
+        num_letters=params.get("NUM_LETTERS", 33),
+        dropout=params.get("DROPOUT", 0.1),
+        protein_augment_eps=params.get("PROTEIN_BACKBONE_NOISE", 0.1),
+        dna_augment_eps=params.get("DNA_BACKBONE_NOISE", 0.1),
+        rna_augment_eps=params.get("RNA_BACKBONE_NOISE", 0.1),
+        decode_protein_first=bool(params.get("DECODE_PROTEIN_FIRST", 0)),
+        na_ref_atom=params.get("NA_REF_ATOM", "C1'"),
+        include_pred_na_N=bool(params.get("INCLUDE_PRED_NA_N", 1)),
+    )
+
+
+BATCH_KEYS = [
+    "X", "X_m", "mask", "S", "R_idx", "chain_labels", "protein_mask",
+    "dna_mask", "rna_mask", "R_polymer_type", "interface_mask",
+    "base_pair_mask", "base_pair_index", "canonical_base_pair_mask",
+    "canonical_base_pair_index", "aligned_ppm", "ppm_mask",
+]
+
+
+class Trainer:
+    """Owns params/opt-state and the jitted train/eval steps."""
+
+    def __init__(self, cfg: ModelConfig, label_smoothing=0.1, loss_tokens=6000.0,
+                 grad_clip_norm=1.0, na_shared_tokens=True, seed=0,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.cfg = cfg
+        self.label_smoothing = label_smoothing
+        self.loss_tokens = loss_tokens
+        self.na_shared_tokens = na_shared_tokens
+        self.restype_masks = make_polymer_restype_masks(na_shared_tokens)
+        self.optimizer = make_optimizer(cfg.hidden_dim, grad_clip_norm=grad_clip_norm)
+        self.mesh = mesh
+
+        key = jax.random.PRNGKey(seed)
+        self.params = init_params(key, cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+
+        if mesh is not None:
+            # Replicate params/opt state, shard batches on the data axis.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.param_sharding = NamedSharding(mesh, P())
+            self.batch_sharding = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(self.params, self.param_sharding)
+            self.opt_state = jax.device_put(self.opt_state, self.param_sharding)
+        else:
+            self.param_sharding = None
+            self.batch_sharding = None
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- loss ------------------------------------------------------------
+
+    def _loss_fn(self, params, batch, key):
+        log_probs, _ = forward(params, self.cfg, batch, key=key, deterministic=False)
+        mfl = mask_for_loss(batch["S"], batch["mask"], self.na_shared_tokens)
+        mfl = mfl.astype(jnp.float32)
+        polymer_masks = {"protein": batch["protein_mask"],
+                         "dna": batch["dna_mask"], "rna": batch["rna_mask"]}
+        _, loss_av = loss_smoothed(
+            batch["S"], log_probs, mfl, polymer_masks, self.restype_masks,
+            weight=self.label_smoothing, tokens=self.loss_tokens,
+            num_letters=self.cfg.num_letters,
+            ppm_mask=batch["ppm_mask"], aligned_ppm=batch["aligned_ppm"])
+        return loss_av, (log_probs, mfl)
+
+    def _metrics_from_logprobs(self, batch, log_probs, mfl):
+        _, _, true_false = loss_nll(batch["S"], log_probs, mfl)
+        cbp_acc = compute_canonical_base_pair_accuracy(
+            log_probs, batch["canonical_base_pair_mask"],
+            batch["canonical_base_pair_index"], self.na_shared_tokens)
+        polymer_masks = {"protein": batch["protein_mask"],
+                         "dna": batch["dna_mask"], "rna": batch["rna_mask"]}
+        loss_metric, _ = loss_smoothed(
+            batch["S"], log_probs, mfl, polymer_masks, self.restype_masks,
+            weight=self.label_smoothing, tokens=self.loss_tokens,
+            num_letters=self.cfg.num_letters,
+            ppm_mask=batch["ppm_mask"], aligned_ppm=batch["aligned_ppm"])
+        return {
+            "loss_per_token": loss_metric.astype(jnp.float32),
+            "accuracy": true_false,
+            "cbp_accuracy": cbp_acc,
+            "S_pred": jnp.argmax(log_probs, axis=-1),
+            "mask_for_loss": mfl,
+        }
+
+    def _train_step_impl(self, params, opt_state, batch, key):
+        (loss_av, (log_probs, mfl)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(params, batch, key)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        metrics = self._metrics_from_logprobs(batch, log_probs, mfl)
+        metrics["loss_av"] = loss_av
+        return params, opt_state, metrics
+
+    def _eval_step_impl(self, params, batch):
+        log_probs, _ = forward(params, self.cfg, batch, deterministic=True)
+        mfl = mask_for_loss(batch["S"], batch["mask"], self.na_shared_tokens)
+        return self._metrics_from_logprobs(batch, log_probs, mfl.astype(jnp.float32))
+
+    # -- public API --------------------------------------------------------
+
+    def _device_batch(self, np_batch):
+        arrays = {k: np_batch[k] for k in BATCH_KEYS if k in np_batch}
+        if any(isinstance(v, jax.Array) for v in arrays.values()):
+            return arrays  # caller already placed/sharded the batch
+        if self.batch_sharding is not None:
+            return {k: jax.device_put(v, self.batch_sharding) for k, v in arrays.items()}
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    def train_step(self, np_batch, key):
+        batch = self._device_batch(np_batch)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, batch, key)
+        self.step += 1
+        return metrics
+
+    def eval_step(self, np_batch):
+        batch = self._device_batch(np_batch)
+        return self._eval_step(self.params, batch)
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save(self, path: str, epoch: int, save_step: int):
+        opt_flat = flatten_pytree(jax.tree.map(np.asarray, self.opt_state))
+        save_checkpoint_npz(path, jax.tree.map(np.asarray, self.params),
+                            meta={"epoch": epoch, "step": self.step,
+                                  "save_step": save_step},
+                            opt_state_flat=opt_flat)
+
+    def restore(self, path: str) -> Dict:
+        params, meta, opt_flat = load_checkpoint_npz(path)
+        self.params = jax.tree.map(jnp.asarray, params)
+        if opt_flat:
+            opt_tree = unflatten_pytree(opt_flat)
+            target = jax.tree.map(np.asarray, self.opt_state)
+            flat_target, treedef = jax.tree.flatten(target)
+            flat_loaded = jax.tree.leaves(opt_tree)
+            assert len(flat_target) == len(flat_loaded), "optimizer state mismatch"
+            self.opt_state = jax.tree.unflatten(
+                treedef, [jnp.asarray(v) for v in flat_loaded])
+        self.step = int(meta.get("step", 0))
+        if self.param_sharding is not None:
+            self.params = jax.device_put(self.params, self.param_sharding)
+            self.opt_state = jax.device_put(self.opt_state, self.param_sharding)
+        return meta
+
+
+def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
+                 steps_override: Optional[int] = None):
+    """Full training loop from a reference-style JSON config
+    (reference na_run.py top level)."""
+    import pandas as pd
+
+    if isinstance(config_path_or_dict, str):
+        params_json = json.load(open(config_path_or_dict))
+    else:
+        params_json = dict(config_path_or_dict)
+    p = params_json
+
+    base = p["BASE_FOLDER"]
+    if base[-1] != "/":
+        base += "/"
+    os.makedirs(base, exist_ok=True)
+    logfile = base + "log.txt"
+    jsonl_log = base + "log.jsonl"
+    if not p.get("PREV_CHECKPOINT"):
+        with open(logfile, "w") as f:
+            f.write("Epoch\tTrain\tValidation\n")
+
+    from ..data.dataset import DatasetConfig, NADataset, make_batch_iter
+    from ..data.parsers import make_parsers
+
+    ds_cfg = DatasetConfig(
+        parse_protein=bool(p["PARSE_PROTEIN"]), parse_dna=bool(p["PARSE_DNA"]),
+        parse_rna=bool(p["PARSE_RNA"]),
+        parse_rna_as_dna=bool(p["PARSE_RNA_AS_DNA"]),
+        na_shared_tokens=bool(p["NA_SHARED_TOKENS"]),
+        protein_backbone_occ_cutoff=p["PROTEIN_BACKBONE_OCC_CUTOFF"],
+        protein_side_chain_occ_cutoff=p["PROTEIN_SIDE_CHAIN_OCC_CUTOFF"],
+        dna_backbone_occ_cutoff=p["DNA_BACKBONE_OCC_CUTOFF"],
+        dna_side_chain_occ_cutoff=p["DNA_SIDE_CHAIN_OCC_CUTOFF"],
+        rna_backbone_occ_cutoff=p["RNA_BACKBONE_OCC_CUTOFF"],
+        rna_side_chain_occ_cutoff=p["RNA_SIDE_CHAIN_OCC_CUTOFF"],
+        crop_large_structures=bool(p["CROP_LARGE_STRUCTURES"]),
+        batch_tokens=p["BATCH_TOKENS"], na_ref_atom=p["NA_REF_ATOM"],
+        parse_ppms=bool(p["PARSE_PPMS"]),
+        min_overlap_length=p["MIN_OVERLAP_LENGTH"],
+        drop_protein_probability=p["DROP_PROTEIN_PROBABILITY"],
+        na_only_as_uniform_ppm=bool(p["NA_ONLY_AS_UNIFORM_PPM"]),
+        protein_interface_residue_mutation_probability=p[
+            "PROTEIN_INTERFACE_RESIDUE_MUTATION_PROBABILITY"],
+        mutate_base_pair_together=bool(p["MUTATE_BASE_PAIR_TOGETHER"]),
+        mutate_entire_side_chain_interface_probability=p[
+            "MUTATE_ENTIRE_SIDE_CHAIN_INTERFACE_PROBABILITY"],
+        na_non_interface_as_uniform_ppm=bool(p["NA_NON_INTERFACE_AS_UNIFORM_PPM"]),
+    )
+    cif_parser, pdb_parser = make_parsers(
+        skip_res=p.get("EXCLUDE_RES", []),
+        randomize_nmr_model=bool(p.get("RANDOMIZE_NMR_MODEL", 0)))
+    dataset = NADataset(cif_parser=cif_parser, pdb_parser=pdb_parser, config=ds_cfg)
+
+    cfg = model_config_from_params(p)
+    trainer = Trainer(cfg, label_smoothing=p["LABEL_SMOOTHING"],
+                      loss_tokens=float(p["LOSS_TOKENS"]),
+                      grad_clip_norm=p["GRADIENT_NORM"],
+                      na_shared_tokens=bool(p["NA_SHARED_TOKENS"]))
+
+    epoch0, save_step = 0, 0
+    if p.get("PREV_CHECKPOINT"):
+        try:
+            meta = trainer.restore(p["PREV_CHECKPOINT"])
+            epoch0 = int(meta.get("epoch", 0))
+            save_step = int(meta.get("save_step", 0))
+            print(f"Starting from step {trainer.step}")
+        except Exception:
+            print("LOADING FROM BAD PATH CHECKPOINT")
+
+    df_train = pd.read_csv(p["DF_PATH_TRAIN"])
+    df_valid = pd.read_csv(p["DF_PATH_VALID"])
+    df_train["date"] = pd.to_datetime(df_train["date"], format="%Y-%m-%d")
+    df_valid["date"] = pd.to_datetime(df_valid["date"], format="%Y-%m-%d")
+    date_cutoff = pd.to_datetime(p["DATE_CUTOFF"], format="%Y-%m-%d")
+
+    metric_manager = generate_metric_manager(
+        dataset.restype_to_int, metrics_to_compute=p["METRICS_TO_COMPUTE"])
+    use_interface = p["METRICS_TO_COMPUTE"] == "all"
+
+    total_steps = steps_override or p["TOTAL_STEPS"]
+    key = jax.random.PRNGKey(p.get("SEED", 0))
+
+    epoch = epoch0
+    while True:
+        metric_manager.zero_metrics()
+        t0 = time.time()
+
+        def run_split(df, max_pdbs, split):
+            nonlocal key
+            batch_iter = make_batch_iter(
+                df, p["BATCH_TOKENS"], p["MIN_PROTEIN_LENGTH_CUTOFF"],
+                date_cutoff, bool(p["CROP_LARGE_STRUCTURES"]), max_pdbs)
+            for cluster in batch_iter:
+                structures = [dataset.loader(ex, aid) for ex, aid in cluster]
+                np_batch = collate_batch([s for s in structures if s])
+                if np_batch is None:
+                    continue
+                if use_interface:
+                    interface = {"interface": jnp.asarray(np_batch["interface_mask"]),
+                                 "nonInterface": 1 - jnp.asarray(np_batch["interface_mask"])}
+                else:
+                    interface = {}
+                if split == "train":
+                    key, sub = jax.random.split(key)
+                    m = trainer.train_step(np_batch, sub)
+                else:
+                    m = trainer.eval_step(np_batch)
+                polymer_masks = {"protein": jnp.asarray(np_batch["protein_mask"]),
+                                 "dna": jnp.asarray(np_batch["dna_mask"]),
+                                 "rna": jnp.asarray(np_batch["rna_mask"])}
+                metric_manager.accumulate(
+                    m["loss_per_token"], m["accuracy"], m["cbp_accuracy"],
+                    jnp.asarray(np_batch["canonical_base_pair_mask"]),
+                    jnp.asarray(np_batch["S"]), m["S_pred"], split,
+                    m["mask_for_loss"], polymer_masks, interface)
+
+        run_split(df_train, p["MAX_NUMBER_OF_PDBS_TRAIN"], "train")
+        t1 = time.time()
+        run_split(df_valid, p["MAX_NUMBER_OF_PDBS_VALID"], "valid")
+        t2 = time.time()
+
+        metric_manager.compute_metrics()
+        out_str = metric_manager.create_print_string(
+            epoch, trainer.step,
+            np.format_float_positional(np.float32(t1 - t0), unique=False, precision=3),
+            np.format_float_positional(np.float32(t2 - t1), unique=False, precision=3))
+        with open(logfile, "a") as f:
+            f.write(out_str + "\n")
+        with open(jsonl_log, "a") as f:
+            f.write(json.dumps({"epoch": epoch + 1, "step": trainer.step,
+                                **metric_manager.as_dict()}) + "\n")
+        print(out_str)
+
+        trainer.save(base + "last.npz", epoch + 1, save_step)
+        if trainer.step > save_step + p["SAVE_EVERY_N_STEPS"]:
+            save_step += p["SAVE_EVERY_N_STEPS"]
+            trainer.save(base + f"s_{trainer.step}.npz", epoch + 1, save_step)
+        epoch += 1
+        if trainer.step > total_steps:
+            break
+        if max_epochs is not None and (epoch - epoch0) >= max_epochs:
+            break
+    return trainer

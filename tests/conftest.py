@@ -1,0 +1,22 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+This gives every test a deterministic fake multi-chip backend (the reference
+has no equivalent — see SURVEY.md §4): sharding/collective tests run on an
+8-device host mesh without TPUs, and parity tests against the torch reference
+run on identical (CPU) arithmetic.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)

@@ -1,0 +1,131 @@
+"""End-to-end CLI smoke tests on the reference example structures
+(the de-facto acceptance tests; reference README.md:70-127)."""
+import os
+
+import numpy as np
+import pytest
+
+EXAMPLES = "/root/reference/inference/examples"
+
+
+@pytest.fixture(scope="module")
+def random_ckpt(tmp_path_factory):
+    import jax
+    from na_mpnn_tpu.models import ModelConfig, init_params
+    from na_mpnn_tpu.train.checkpoint import save_checkpoint_npz
+
+    cfg = ModelConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path_factory.mktemp("ckpt") / "model.npz")
+    save_checkpoint_npz(path, params, meta={"step": 0})
+    return path
+
+
+def test_design_mode_4oqu(random_ckpt, tmp_path):
+    from na_mpnn_tpu.cli.run import apply_mode_defaults, build_argparser, main
+
+    out = str(tmp_path / "out")
+    args = build_argparser().parse_args([
+        "--mode", "design",
+        "--checkpoint_na_mpnn", random_ckpt,
+        "--pdb_path", f"{EXAMPLES}/4oqu.pdb",
+        "--out_folder", out,
+        "--seed", "7",
+        "--batch_size", "2",
+        "--number_of_batches", "2",
+        "--save_stats", "1",
+        "--stats_format", "npz",
+        # omit protein letters: the random-weight model has no learned
+        # preference for NA tokens (the trained checkpoints do)
+        "--omit_AA", "ARNDCQEGHILKMFPSTWYVX",
+    ])
+    args = apply_mode_defaults(args)
+    main(args)
+
+    fasta = out + "/seqs/4oqu.fa"
+    assert os.path.exists(fasta)
+    entries = open(fasta).read().split(">")[1:]
+    assert len(entries) == 1 + 4  # native + B*num_batches
+    # 4oqu is an RNA monomer: with protein letters omitted, designed letters
+    # must be RNA chars (b/d/h/u; mapped from shared DNA tokens via O2'
+    # presence, reference inference/run.py:119-123,469-472).
+    for e in entries[1:]:
+        seq = e.strip().split("\n")[-1]
+        assert set(seq) <= set("bdhu"), seq
+    assert os.path.exists(out + "/backbones/4oqu_1.pdb")
+    assert os.path.exists(out + "/stats/4oqu.npz")
+
+    stats = np.load(out + "/stats/4oqu.npz")
+    assert stats["generated_sequences"].shape == (4, 97)
+    # reproducibility: same seed -> same sequences
+    out2 = str(tmp_path / "out2")
+    args.out_folder = out2
+    main(args)
+    s2 = np.load(out2 + "/stats/4oqu.npz")["generated_sequences"]
+    np.testing.assert_array_equal(stats["generated_sequences"], s2)
+
+
+def test_specificity_mode_1am9(random_ckpt, tmp_path):
+    from na_mpnn_tpu.cli.run import apply_mode_defaults, build_argparser, main
+    from na_mpnn_tpu import constants
+
+    out = str(tmp_path / "spec")
+    args = build_argparser().parse_args([
+        "--mode", "specificity",
+        "--checkpoint_na_mpnn", random_ckpt,
+        "--pdb_path", f"{EXAMPLES}/1am9.pdb",
+        "--out_folder", out,
+        "--seed", "11",
+        "--batch_size", "3",
+        "--number_of_batches", "1",
+        "--omit_AA", "ARNDCQEGHILKMFPSTWYVX",
+        "--design_na_only", "1",
+        "--output_specificity", "1",
+        "--output_pdbs", "0",
+    ])
+    args = apply_mode_defaults(args)
+    main(args)
+
+    spec = np.load(out + "/specificity/1am9.npz", allow_pickle=True)
+    ppm = spec["predicted_ppm"]
+    assert ppm.shape == (389, constants.NUM_LETTERS)
+    dna = spec["dna_mask"].astype(bool)
+    # Designed (DNA) rows are probability distributions over the 4 DNA tokens.
+    table = constants.restype_to_int_table(True)
+    na_cols = [table["DA"], table["DC"], table["DG"], table["DT"]]
+    rows = ppm[dna]
+    np.testing.assert_allclose(rows.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(rows[:, na_cols].sum(-1), 1.0, atol=1e-5)
+    # Protein rows are fixed -> zero sampling probs.
+    prot = spec["protein_mask"].astype(bool)
+    assert np.abs(ppm[prot]).max() == 0.0
+
+
+def test_symmetry_and_fixed_residues_4oqu(random_ckpt, tmp_path):
+    from na_mpnn_tpu.cli.run import apply_mode_defaults, build_argparser, main
+
+    out = str(tmp_path / "sym")
+    args = build_argparser().parse_args([
+        "--mode", "design",
+        "--checkpoint_na_mpnn", random_ckpt,
+        "--pdb_path", f"{EXAMPLES}/4oqu.pdb",
+        "--out_folder", out,
+        "--seed", "3",
+        "--batch_size", "1",
+        "--symmetry_residues", "A1,A2|A3,A4",
+        "--symmetry_weights", "1.0,1.0|2.0,0.5",
+        "--fixed_residues", "A5 A6",
+        "--save_stats", "1",
+        "--stats_format", "npz",
+        "--output_pdbs", "0",
+    ])
+    args = apply_mode_defaults(args)
+    main(args)
+    stats = np.load(out + "/stats/4oqu.npz", allow_pickle=True)
+    S = stats["generated_sequences"][0]
+    S_native = stats["native_sequence"]
+    # 4oqu chain A starts at resnum 1 -> indices 0,1 tied and 2,3 tied.
+    assert S[0] == S[1]
+    assert S[2] == S[3]
+    # fixed residues keep native identity
+    assert S[4] == S_native[4] and S[5] == S_native[5]
