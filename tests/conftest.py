@@ -15,6 +15,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize pins jax_platforms="axon,cpu" regardless of the env
+# var; force the CPU backend explicitly so tests run on the virtual 8-device
+# mesh (and not through the single-chip TPU tunnel).
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
 REFERENCE_DIR = "/root/reference"
 
 
