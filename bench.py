@@ -33,19 +33,26 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg)
     batch = {k: jnp.asarray(v) for k, v in _synthetic_batch(B=B, L=L).items()}
 
+    # Chain iterations through a data dependency (the carry perturbs X by
+    # exactly 0.0 but forces sequential execution) so a caching/pipelining
+    # runtime cannot overlap or deduplicate identical dispatches.
     @jax.jit
-    def fwd(params, batch):
-        log_probs, _ = forward(params, cfg, batch)
-        return log_probs
+    def fwd_chained(params, batch, carry):
+        b = dict(batch)
+        b["X"] = batch["X"] + carry * 0.0
+        log_probs, _ = forward(params, cfg, b)
+        return jnp.sum(log_probs)
 
-    # Warmup / compile.
-    fwd(params, batch).block_until_ready()
+    carry = jnp.float32(0.0)
+    carry = fwd_chained(params, batch, carry)
+    float(carry)  # compile + force execution (block_until_ready is not
+    # sufficient through remote-relay backends; a host readback is)
 
     n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = fwd(params, batch)
-    out.block_until_ready()
+        carry = fwd_chained(params, batch, carry)
+    assert np.isfinite(float(carry))  # host readback forces real execution
     dt = time.perf_counter() - t0
 
     edges = B * L * cfg.k_neighbors

@@ -37,6 +37,8 @@ class ModelConfig:
     # Compute dtype for the MPNN trunk ("float32" or "bfloat16"). Parameters
     # and layer-norm statistics stay fp32; bf16 feeds the MXU at 2x rate.
     compute_dtype: str = "float32"
+    # Kernel backend: "auto" (Pallas on TPU, XLA elsewhere), "pallas", "xla".
+    kernels: str = "auto"
 
     @property
     def total_atoms(self) -> int:

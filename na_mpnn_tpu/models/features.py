@@ -133,6 +133,15 @@ def build_augmented_atoms(X, X_m, batch, cfg: ModelConfig):
     return X_aug, X_m_aug, X_ref
 
 
+def _use_pallas_kernels(cfg: ModelConfig) -> bool:
+    if cfg.kernels == "pallas":
+        return True
+    if cfg.kernels == "xla":
+        return False
+    # auto: Pallas on TPU-class backends only.
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
                    deterministic: bool = True):
     """Compute (V [B,L,node_features], E [B,L,K,edge_features], E_idx [B,L,K]).
@@ -150,9 +159,13 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         X = augment_coordinates(X, X_m, batch, cfg, key)
 
     X_aug, X_m_aug, X_ref = build_augmented_atoms(X, X_m, batch, cfg)
-    _, E_idx = knn_graph(X_ref, mask, cfg.k_neighbors)
 
-    RBF_all = all_pair_rbf(X_aug, E_idx, X_m_aug, cfg.num_rbf)
+    use_pallas = _use_pallas_kernels(cfg)
+    if use_pallas:
+        from ..ops.knn import knn_graph_pallas
+        _, E_idx = knn_graph_pallas(X_ref, mask, cfg.k_neighbors)
+    else:
+        _, E_idx = knn_graph(X_ref, mask, cfg.k_neighbors)
 
     # Relative position + same-chain indicator, computed per edge.
     R_idx = batch["R_idx"].astype(jnp.int32)
@@ -167,11 +180,20 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
 
     # Split edge embedding: W_edge rows [0:16) act on the positional block and
     # the rest on the RBF block — algebraically identical to embedding the
-    # concatenation (reference na_model_utils.py:507-509) but keeps the two
-    # blocks separate so the RBF half can later be fused tile-wise.
+    # concatenation (reference na_model_utils.py:507-509). The RBF half is a
+    # fused Pallas kernel on TPU (RBF + projection tile-wise in VMEM; the
+    # [B,L,K,5184] tensor never reaches HBM).
     n_pos = cfg.num_positional_embeddings
     W = p["edge_embedding"]["w"]
-    E = jnp.dot(E_positional, W[:n_pos]) + jnp.dot(RBF_all, W[n_pos:])
+    if use_pallas:
+        from ..ops.rbf_edge import rbf_edge_features
+        compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        E_rbf = rbf_edge_features(X_aug, X_m_aug, E_idx, W[n_pos:],
+                                  compute_dtype=compute_dtype)
+    else:
+        RBF_all = all_pair_rbf(X_aug, E_idx, X_m_aug, cfg.num_rbf)
+        E_rbf = jnp.dot(RBF_all, W[n_pos:])
+    E = jnp.dot(E_positional, W[:n_pos]) + E_rbf
     E = layer_norm(p["norm_edges"], E)
 
     V = jax.nn.one_hot(batch["R_polymer_type"], cfg.num_polytypes,

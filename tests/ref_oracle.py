@@ -71,6 +71,27 @@ def load_ref_module(relpath, name):
     return mod
 
 
+def load_ref_hb_data_class():
+    """Extract the reference HB_data class (the H-bond / base-pair oracle)
+    from data/preprocess_dataset.py via AST — the module itself cannot be
+    imported (it reads hardcoded paths and imports openbabel at import time).
+    """
+    import ast
+
+    import numpy as np
+    import torch
+
+    path = os.path.join(REFERENCE_DIR, "data/preprocess_dataset.py")
+    src = open(path).read()
+    tree = ast.parse(src)
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "HB_data")
+    mod = ast.Module(body=[cls], type_ignores=[])
+    ns = {"torch": torch, "np": np, "HB_data": None}
+    exec(compile(mod, path, "exec"), ns)  # noqa: S102 — test oracle only
+    return ns["HB_data"]
+
+
 def make_ref_inference_model(seed=0, k_neighbors=32, hidden=128, dtype="float32"):
     """Randomly-initialized reference inference ProteinMPNN
     (/root/reference/inference/model_utils.py)."""
