@@ -1,0 +1,415 @@
+"""Evaluation pipelines + function-dispatch CLI.
+
+Equivalent of the reference harness's orchestration layer (reference
+evaluation/na_eval_utils.py:2356-3753): design / specificity pipelines run
+our inference CLI in-process (the reference shells into an apptainer image,
+evaluation/na_eval_utils.py:2428-2463), scoring pipelines call the local
+scoring math, and external-tool stages (DSSR, EternaFold, AF3, RibonanzaNet)
+degrade gracefully when the binaries are absent.
+
+CLI: ``python -m na_mpnn_tpu.eval.harness --function_name <fn> [kwargs...]``
+mirroring the reference dispatcher (evaluation/na_eval_utils.py:3659-3753).
+"""
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import shutil
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import scoring
+from .. import constants
+
+
+# ---------------------------------------------------------------------------
+# File helpers (reference evaluation/na_eval_utils.py:23-217)
+# ---------------------------------------------------------------------------
+
+def read_text_file(path):
+    with open(path) as f:
+        return f.read()
+
+
+def write_text_file(path, contents):
+    with open(path, "w") as f:
+        f.write(contents)
+
+
+def read_json_file(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_json_file(path, contents):
+    with open(path, "w") as f:
+        json.dump(contents, f, indent=4)
+
+
+def read_fasta_file(path) -> List[Tuple[str, str]]:
+    entries = []
+    header, seq = None, []
+    for line in read_text_file(path).splitlines():
+        if line.startswith(">"):
+            if header is not None:
+                entries.append((header, "".join(seq)))
+            header, seq = line[1:], []
+        elif line.strip():
+            seq.append(line.strip())
+    if header is not None:
+        entries.append((header, "".join(seq)))
+    return entries
+
+
+def write_fasta_file(path, fasta_entries):
+    write_text_file(path, "\n".join(f">{h}\n{s}" for h, s in fasta_entries))
+
+
+def chain_num_to_chain_id(chain_num: int) -> str:
+    """0->A, 25->Z, 26->AA, ... (reference chain_num_to_chain_id)."""
+    out = ""
+    n = chain_num
+    while True:
+        out = chr(ord("A") + n % 26) + out
+        n = n // 26 - 1
+        if n < 0:
+            return out
+
+
+def compute_human_readable_ppm(predicted_ppm, dna_mask, rna_mask,
+                               restype_to_int=None):
+    """Subset the 33-column PPM to human-readable A/C/G/T(U) columns per NA
+    residue (reference compute_human_readable_ppm,
+    evaluation/na_eval_utils.py:219-253)."""
+    if restype_to_int is None:
+        restype_to_int = constants.restype_to_int_table(True)
+    t = restype_to_int
+    na = (np.asarray(dna_mask) + np.asarray(rna_mask)).astype(bool)
+    cols = [t["DA"], t["DC"], t["DG"], t["DT"]]
+    return np.asarray(predicted_ppm)[na][:, cols]
+
+
+# ---------------------------------------------------------------------------
+# NA-MPNN runs (in-process; replaces the reference's apptainer subprocess)
+# ---------------------------------------------------------------------------
+
+def _structure_name(structure_path: str) -> Tuple[str, str]:
+    base = os.path.basename(structure_path)
+    if base.endswith(".gz"):
+        base = os.path.splitext(base)[0]
+    if not (base.endswith(".pdb") or base.endswith(".cif")):
+        raise ValueError(f"Invalid structure file extension: {base}")
+    return os.path.splitext(base)[0], base
+
+
+def run_na_mpnn_sequence(structure_path, output_directory, batch_size=10,
+                         number_of_batches=1, temperature=0.1,
+                         omit_AA="ARNDCQEGHILKMFPSTWYVXbdhuy",
+                         design_na_only=1, load_residues_with_missing_atoms=0,
+                         output_pdbs=0, catch_failed_inferences=1,
+                         na_mpnn_model_path=None, seed=0) -> List[Dict]:
+    """Design sequences with our CLI and parse the FASTA back into design
+    dicts (reference run_na_mpnn_sequence,
+    evaluation/na_eval_utils.py:2356-2509)."""
+    from ..cli.run import apply_mode_defaults, build_argparser, main as cli_main
+
+    if na_mpnn_model_path is None:
+        raise ValueError("na_mpnn_model_path is required")
+    structure_name, _ = _structure_name(structure_path)
+    args = build_argparser().parse_args([
+        "--mode", "design",
+        "--checkpoint_na_mpnn", na_mpnn_model_path,
+        "--pdb_path", structure_path,
+        "--out_folder", output_directory,
+        "--batch_size", str(batch_size),
+        "--number_of_batches", str(number_of_batches),
+        "--temperature", str(temperature),
+        "--omit_AA", omit_AA,
+        "--design_na_only", str(design_na_only),
+        "--load_residues_with_missing_atoms", str(load_residues_with_missing_atoms),
+        "--output_pdbs", str(output_pdbs),
+        "--seed", str(seed),
+    ])
+    args = apply_mode_defaults(args)
+    cli_main(args)
+
+    fasta_path = os.path.join(output_directory, "seqs", f"{structure_name}.fa")
+    if not os.path.exists(fasta_path):
+        raise ValueError(f"Output fasta file not found: {fasta_path}")
+    entries = read_fasta_file(fasta_path)[1:]  # skip the native entry
+    design_data = []
+    for header, seq in entries:
+        meta = {}
+        for item in header.split(", ")[1:]:
+            item = item.strip()
+            if "=" in item:
+                k, v = item.split("=", 1)
+                # the confidence field is space-joined with seq_rec in the
+                # reference header format
+                for sub in (k + "=" + v).split(" "):
+                    if "=" in sub:
+                        kk, vv = sub.split("=", 1)
+                        meta[kk] = vv
+        design_data.append({
+            "input_structure_name": structure_name,
+            "input_structure_path": structure_path,
+            "design_id": meta.get("id"),
+            "name": f"{structure_name}_{meta.get('id')}",
+            "design_sequence": seq,
+            "tool_reported_sequence_recovery": float(meta.get("seq_rec", "nan")),
+            "design_method": "na_mpnn",
+            "model_weights_path": na_mpnn_model_path,
+        })
+    return design_data
+
+
+def run_na_mpnn_specificity(structure_path, output_directory, batch_size=30,
+                            number_of_batches=10, temperature=0.6,
+                            na_mpnn_model_path=None, seed=0) -> Dict:
+    """Predict a PPM with our CLI's specificity mode and load the .npz
+    (reference run_na_mpnn_specificity, evaluation/na_eval_utils.py:1034-1200)."""
+    from ..cli.run import apply_mode_defaults, build_argparser, main as cli_main
+
+    if na_mpnn_model_path is None:
+        raise ValueError("na_mpnn_model_path is required")
+    structure_name, _ = _structure_name(structure_path)
+    args = build_argparser().parse_args([
+        "--mode", "specificity",
+        "--checkpoint_na_mpnn", na_mpnn_model_path,
+        "--pdb_path", structure_path,
+        "--out_folder", output_directory,
+        "--batch_size", str(batch_size),
+        "--number_of_batches", str(number_of_batches),
+        "--temperature", str(temperature),
+        "--omit_AA", "ARNDCQEGHILKMFPSTWYVX",
+        "--design_na_only", "1",
+        "--output_specificity", "1",
+        "--output_pdbs", "0",
+        "--output_sequences", "0",
+        "--seed", str(seed),
+    ])
+    args = apply_mode_defaults(args)
+    cli_main(args)
+
+    npz_path = os.path.join(output_directory, "specificity", f"{structure_name}.npz")
+    data = np.load(npz_path, allow_pickle=True)
+    return {k: data[k] for k in data.files}
+
+
+# ---------------------------------------------------------------------------
+# Pipelines
+# ---------------------------------------------------------------------------
+
+def _fresh_output_dir(overall_output_directory, name):
+    out = os.path.join(os.path.abspath(overall_output_directory), name)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    return out
+
+
+def _copy_structure(structure_path, output_directory):
+    structure_name, base = _structure_name(structure_path)
+    copy_path = os.path.join(output_directory, base)
+    if structure_path.endswith(".gz"):
+        with gzip.open(structure_path, "rb") as f_in, open(copy_path, "wb") as f_out:
+            shutil.copyfileobj(f_in, f_out)
+    else:
+        shutil.copy(structure_path, copy_path)
+    return copy_path
+
+
+def design_nucleic_acid_sequence(structure_path, overall_output_directory,
+                                 num_samples, temperature, method="na_mpnn",
+                                 na_mpnn_model_path=None, seed=0):
+    """Per-structure design pipeline (reference design_nucleic_acid_sequence,
+    evaluation/na_eval_utils.py:2787-2910)."""
+    structure_path = os.path.abspath(structure_path)
+    if temperature is None:
+        temperature = 0.1
+    if not os.path.exists(structure_path):
+        raise ValueError(f"Structure file not found: {structure_path}")
+    structure_name, _ = _structure_name(structure_path)
+    output_directory = _fresh_output_dir(overall_output_directory, structure_name)
+    original = structure_path
+    structure_path = _copy_structure(structure_path, output_directory)
+    design_json_dir = os.path.join(output_directory, "design_json")
+    os.makedirs(design_json_dir)
+
+    if method != "na_mpnn":
+        raise ValueError(
+            f"Sequence design method {method} requires its external tool; "
+            f"only na_mpnn runs natively.")
+    design_data = run_na_mpnn_sequence(
+        structure_path, output_directory=output_directory,
+        batch_size=num_samples, number_of_batches=1, temperature=temperature,
+        na_mpnn_model_path=na_mpnn_model_path, seed=seed)
+    for d in design_data:
+        d["original_input_structure_path"] = original
+        write_json_file(os.path.join(design_json_dir, f"{d['name']}.json"), d)
+    return design_data
+
+
+def predict_nucleic_acid_ppm(structure_path, overall_output_directory,
+                             num_samples, temperature, num_batches=1,
+                             method="na_mpnn", na_mpnn_model_path=None, seed=0):
+    """Per-structure specificity pipeline: sample -> mean PPM -> subject JSON
+    (reference predict_nucleic_acid_ppm, evaluation/na_eval_utils.py:3342-3467)."""
+    structure_path = os.path.abspath(structure_path)
+    if temperature is None:
+        temperature = 0.6
+    structure_name, _ = _structure_name(structure_path)
+    output_directory = _fresh_output_dir(overall_output_directory, structure_name)
+    original = structure_path
+    structure_path = _copy_structure(structure_path, output_directory)
+
+    spec = run_na_mpnn_specificity(
+        structure_path, output_directory=output_directory,
+        batch_size=num_samples, number_of_batches=num_batches,
+        temperature=temperature, na_mpnn_model_path=na_mpnn_model_path,
+        seed=seed)
+
+    subject = {
+        "name": structure_name,
+        "input_structure_path": structure_path,
+        "original_input_structure_path": original,
+        "predicted_ppm_na_mpnn_format": np.asarray(spec["predicted_ppm"]).tolist(),
+        "true_sequence_na_mpnn_format": np.asarray(spec["true_sequence"]).tolist(),
+        "chain_labels": np.asarray(spec["chain_labels"]).tolist(),
+        "mask": np.asarray(spec["mask"]).tolist(),
+        "protein_mask": np.asarray(spec["protein_mask"]).tolist(),
+        "dna_mask": np.asarray(spec["dna_mask"]).tolist(),
+        "rna_mask": np.asarray(spec["rna_mask"]).tolist(),
+        "human_readable_ppm": compute_human_readable_ppm(
+            spec["predicted_ppm"], spec["dna_mask"], spec["rna_mask"]).tolist(),
+        "prediction_method": method,
+        "model_weights_path": na_mpnn_model_path,
+    }
+    subject_path = os.path.join(output_directory, f"{structure_name}.json")
+    write_json_file(subject_path, subject)
+    return subject_path
+
+
+def score_specificity_prediction(reference_ppms_list_str, subject_path,
+                                 overall_output_directory):
+    """Score a predicted PPM against experimental PPMs (reference
+    score_specificity_prediction, evaluation/na_eval_utils.py:3469-3651)."""
+    from ..data.dataset import load_ppms
+
+    subject_path = os.path.abspath(subject_path)
+    if not os.path.exists(subject_path):
+        raise ValueError(f"Predicted PPM file not found: {subject_path}")
+    subject = read_json_file(subject_path)
+    output_directory = _fresh_output_dir(overall_output_directory, subject["name"])
+
+    reference_ppms, chosen = load_ppms(reference_ppms_list_str,
+                                       randomize_experimental_ppms=False)
+    result = scoring.score_specificity_arrays(
+        reference_ppms,
+        np.asarray(subject["true_sequence_na_mpnn_format"], np.int64),
+        np.asarray(subject["chain_labels"], np.int32),
+        np.asarray(subject["protein_mask"], np.int32),
+        np.asarray(subject["dna_mask"], np.int32),
+        np.asarray(subject["rna_mask"], np.int32),
+        np.asarray(subject["predicted_ppm_na_mpnn_format"], np.float64),
+        np.asarray(subject["mask"], np.int32))
+    result.update({
+        "reference_ppms_list_str": reference_ppms_list_str,
+        "reference_ppm_paths_chosen": chosen,
+        "subject_name": subject["name"],
+        "subject_path": subject_path,
+    })
+    for k, v in list(result.items()):
+        if isinstance(v, np.ndarray):
+            result[k] = v.tolist()
+    out_path = os.path.join(output_directory, f"{subject['name']}.json")
+    write_json_file(out_path, result)
+    return out_path
+
+
+def score_design_monomer_rna(reference_path, subject_path,
+                             overall_output_directory):
+    """Score one RNA-monomer design against its processed reference
+    (reference score_design_monomer_rna, evaluation/na_eval_utils.py:3103-3340).
+    External-tool stages (AF3 fold comparison) run only when their outputs
+    are present in the processed JSONs."""
+    reference = read_json_file(reference_path)
+    subject = read_json_file(subject_path)
+    output_directory = _fresh_output_dir(overall_output_directory, subject["name"])
+
+    result = {"name": subject["name"], "reference_path": reference_path,
+              "subject_path": subject_path}
+    if "sequence" in reference and "design_sequence" in subject:
+        seq = scoring.standardize_rna_sequence(
+            subject["design_sequence"], method="na_mpnn", remove_chain_breaks=True)
+        result["sequence_recovery"] = scoring.calculate_sequence_recovery(
+            reference["sequence"], seq,
+            unknown_residue_allowed_in_reference=True)["sequence_recovery"]
+    if "secondary_structure" in reference and "secondary_structure" in subject:
+        result.update(scoring.calculate_secondary_structure_stats(
+            reference["secondary_structure"], subject["secondary_structure"]))
+    if "reactivity_profile" in subject and "secondary_structure" in reference:
+        result.update(scoring.calculate_reactivity_profile_score(
+            reference["secondary_structure"],
+            np.asarray(subject["reactivity_profile"])))
+    if "c1_prime_coords" in reference and "c1_prime_coords" in subject:
+        from .superimpose import structure_comparison_metrics
+        result.update(structure_comparison_metrics(
+            np.asarray(reference["c1_prime_coords"]),
+            np.asarray(subject["c1_prime_coords"])))
+    out_path = os.path.join(output_directory, f"{subject['name']}.json")
+    write_json_file(out_path, result)
+    return out_path
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher CLI (reference evaluation/na_eval_utils.py:3659-3753)
+# ---------------------------------------------------------------------------
+
+FUNCTIONS = {
+    "design_nucleic_acid_sequence": design_nucleic_acid_sequence,
+    "predict_nucleic_acid_ppm": predict_nucleic_acid_ppm,
+    "score_specificity_prediction": score_specificity_prediction,
+    "score_design_monomer_rna": score_design_monomer_rna,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--function_name", required=True, choices=sorted(FUNCTIONS))
+    p.add_argument("--structure_path")
+    p.add_argument("--overall_output_directory")
+    p.add_argument("--num_samples", type=int, default=10)
+    p.add_argument("--num_batches", type=int, default=1)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--method", default="na_mpnn")
+    p.add_argument("--na_mpnn_model_path")
+    p.add_argument("--reference_ppms_list_str")
+    p.add_argument("--subject_path")
+    p.add_argument("--reference_path")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    fn = FUNCTIONS[args.function_name]
+    if args.function_name == "design_nucleic_acid_sequence":
+        fn(args.structure_path, args.overall_output_directory,
+           args.num_samples, args.temperature, args.method,
+           args.na_mpnn_model_path, args.seed)
+    elif args.function_name == "predict_nucleic_acid_ppm":
+        fn(args.structure_path, args.overall_output_directory,
+           args.num_samples, args.temperature, args.num_batches, args.method,
+           args.na_mpnn_model_path, args.seed)
+    elif args.function_name == "score_specificity_prediction":
+        fn(args.reference_ppms_list_str, args.subject_path,
+           args.overall_output_directory)
+    elif args.function_name == "score_design_monomer_rna":
+        fn(args.reference_path, args.subject_path,
+           args.overall_output_directory)
+
+
+if __name__ == "__main__":
+    main()

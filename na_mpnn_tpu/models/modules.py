@@ -90,22 +90,42 @@ def _message_mlp(p, h_EV, w1="W1", w2="W2", w3="W3"):
     return linear(p[w3], gelu(linear(p[w2], gelu(linear(p[w1], h_EV)))))
 
 
+def _split_w1(p, H, name="W1"):
+    """View the [cH, H] concat weight as c per-block [H, H] weights."""
+    w = p[name]["w"]
+    c = w.shape[0] // H
+    return [w[i * H:(i + 1) * H] for i in range(c)], p[name]["b"]
+
+
+def _message_tail(p, x, w2="W2", w3="W3"):
+    return linear(p[w3], gelu(linear(p[w2], gelu(x))))
+
+
 def enc_layer_apply(p, h_V, h_E, E_idx, mask_V=None, mask_attend=None,
                     dropout_rate=0.0, key=None, deterministic=True):
     """Encoder layer: node update + edge update.
 
-    Mirrors reference EncLayer.forward (na_model_utils.py:218-241).
+    Mirrors reference EncLayer.forward (na_model_utils.py:218-241) with the
+    concat->W1 matmul split algebraically into per-block terms:
+        cat(h_Vi, h_E, h_Vj) @ W1 = h_V@W1a |i + h_E@W1b + gather(h_V@W1c)
+    — the [B,L,K,3H] concat never materializes and the node blocks cost H^2
+    per node instead of per edge.
     h_V: [B,L,H]; h_E: [B,L,K,H]; E_idx: [B,L,K].
     """
     if not deterministic and key is not None:
         k1, k2, k3 = jax.random.split(key, 3)
     else:
         k1 = k2 = k3 = None
+    H = h_V.shape[-1]
 
-    h_EV = cat_neighbors_nodes(h_V, h_E, E_idx)           # [B,L,K,2H]
-    h_V_expand = jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:-1] + (h_V.shape[-1],))
-    h_EV = jnp.concatenate([h_V_expand, h_EV], axis=-1)   # [B,L,K,3H]
-    h_message = _message_mlp(p, h_EV)
+    def edge_message(h_V, w1_name, w2_name, w3_name):
+        (wa, wb, wc), b1 = _split_w1(p, H, w1_name)
+        x = (jnp.dot(h_V, wa)[:, :, None, :]
+             + jnp.dot(h_E, wb)
+             + gather_nodes(jnp.dot(h_V, wc), E_idx) + b1)
+        return _message_tail(p, x, w2_name, w3_name)
+
+    h_message = edge_message(h_V, "W1", "W2", "W3")
     if mask_attend is not None:
         h_message = mask_attend[..., None] * h_message
     dh = jnp.sum(h_message, axis=-2) / MESSAGE_SCALE
@@ -116,10 +136,7 @@ def enc_layer_apply(p, h_V, h_E, E_idx, mask_V=None, mask_attend=None,
     if mask_V is not None:
         h_V = mask_V[..., None] * h_V
 
-    h_EV = cat_neighbors_nodes(h_V, h_E, E_idx)
-    h_V_expand = jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:-1] + (h_V.shape[-1],))
-    h_EV = jnp.concatenate([h_V_expand, h_EV], axis=-1)
-    h_message = _message_mlp(p, h_EV, "W11", "W12", "W13")
+    h_message = edge_message(h_V, "W11", "W12", "W13")
     h_E = layer_norm(p["norm3"], h_E + dropout(h_message, dropout_rate, k3, deterministic))
     return h_V, h_E
 

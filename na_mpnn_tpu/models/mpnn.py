@@ -147,17 +147,44 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
                       layer_keys, deterministic):
     """Parallel (teacher-forced) decoder: known positions see sequence-embedded
     edges, future positions see encoder-only edges
-    (reference na_model_utils.py:632-639)."""
-    h_ES = cat_neighbors_nodes(h_S, h_E, E_idx)
-    h_EX_encoder = cat_neighbors_nodes(jnp.zeros_like(h_S), h_E, E_idx)
-    h_EXV_encoder = cat_neighbors_nodes(h_V, h_EX_encoder, E_idx)
-    h_EXV_encoder_fw = mask_fw * h_EXV_encoder
+    (reference na_model_utils.py:632-639).
+
+    The per-layer input cat(h_Vi, h_E, h_Sj, h_Vj)@W1 with the causal mixing
+      h_ESV = mask_bw*cat(h_E, h_Sj, h_Vcur_j) + mask_fw*cat(h_E, 0, h_Venc_j)
+    is split algebraically per block (scalar masks commute with the linear):
+      h_E term with coefficient mask_bw+mask_fw = mask_1d, a static h_S term,
+      a static mask_fw encoder-node term, and a per-layer mask_bw node term —
+    so no [B,L,K,3H] concat is ever materialized.
+    """
+    from .modules import _message_tail, _split_w1, dropout, layer_norm, pff_apply
+
+    H = h_V.shape[-1]
+    h_V_enc = h_V
+    mask_1d = mask[:, :, None, None]
+
+    def static_terms(layer_params):
+        (wa, wb, ws, wv), b1 = _split_w1(layer_params, H)
+        e_term = mask_1d * jnp.dot(h_E, wb)
+        s_term = mask_bw * gather_nodes(jnp.dot(h_S, ws), E_idx)
+        venc_term = mask_fw * gather_nodes(jnp.dot(h_V_enc, wv), E_idx)
+        return wa, wv, b1, e_term + s_term + venc_term + b1
 
     def run_layer(layer_params, h_V, lkey):
-        h_ESV = cat_neighbors_nodes(h_V, h_ES, E_idx)
-        h_ESV = mask_bw * h_ESV + h_EXV_encoder_fw
-        return dec_layer_apply(layer_params, h_V, h_ESV, mask, None,
-                               cfg.dropout, lkey, deterministic)
+        wa, wv, _, static = static_terms(layer_params)
+        x = (jnp.dot(h_V, wa)[:, :, None, :]
+             + mask_bw * gather_nodes(jnp.dot(h_V, wv), E_idx) + static)
+        h_message = _message_tail(layer_params, x)
+        dh = jnp.sum(h_message, axis=-2) / 30.0
+        if not deterministic and lkey is not None:
+            k1, k2 = jax.random.split(lkey)
+        else:
+            k1 = k2 = None
+        h_V = layer_norm(layer_params["norm1"],
+                         h_V + dropout(dh, cfg.dropout, k1, deterministic))
+        dh = pff_apply(layer_params["dense"], h_V)
+        h_V = layer_norm(layer_params["norm2"],
+                         h_V + dropout(dh, cfg.dropout, k2, deterministic))
+        return mask[..., None] * h_V
 
     for i, layer_params in enumerate(params["decoder"]):
         if not deterministic:

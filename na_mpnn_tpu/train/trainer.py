@@ -28,8 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import ModelConfig, forward, init_params
-from .checkpoint import (flatten_pytree, load_checkpoint_npz, save_checkpoint_npz,
-                         unflatten_pytree)
+from .checkpoint import load_checkpoint_npz, save_checkpoint_npz
 from .collate import collate_batch
 from .losses import (compute_canonical_base_pair_accuracy, loss_nll,
                      loss_smoothed, make_polymer_restype_masks, mask_for_loss)
@@ -174,7 +173,10 @@ class Trainer:
     # -- checkpointing -------------------------------------------------------
 
     def save(self, path: str, epoch: int, save_step: int):
-        opt_flat = flatten_pytree(jax.tree.map(np.asarray, self.opt_state))
+        # Optimizer state is stored by leaf position — optax states contain
+        # empty containers that a name-based flattening cannot round-trip.
+        opt_flat = {f"leaf{i:04d}": np.asarray(v)
+                    for i, v in enumerate(jax.tree.leaves(self.opt_state))}
         save_checkpoint_npz(path, jax.tree.map(np.asarray, self.params),
                             meta={"epoch": epoch, "step": self.step,
                                   "save_step": save_step},
@@ -184,13 +186,11 @@ class Trainer:
         params, meta, opt_flat = load_checkpoint_npz(path)
         self.params = jax.tree.map(jnp.asarray, params)
         if opt_flat:
-            opt_tree = unflatten_pytree(opt_flat)
-            target = jax.tree.map(np.asarray, self.opt_state)
-            flat_target, treedef = jax.tree.flatten(target)
-            flat_loaded = jax.tree.leaves(opt_tree)
-            assert len(flat_target) == len(flat_loaded), "optimizer state mismatch"
-            self.opt_state = jax.tree.unflatten(
-                treedef, [jnp.asarray(v) for v in flat_loaded])
+            flat_target, treedef = jax.tree.flatten(self.opt_state)
+            assert len(flat_target) == len(opt_flat), "optimizer state mismatch"
+            loaded = [jnp.asarray(opt_flat[f"leaf{i:04d}"])
+                      for i in range(len(flat_target))]
+            self.opt_state = jax.tree.unflatten(treedef, loaded)
         self.step = int(meta.get("step", 0))
         if self.param_sharding is not None:
             self.params = jax.device_put(self.params, self.param_sharding)
@@ -265,8 +265,8 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
             epoch0 = int(meta.get("epoch", 0))
             save_step = int(meta.get("save_step", 0))
             print(f"Starting from step {trainer.step}")
-        except Exception:
-            print("LOADING FROM BAD PATH CHECKPOINT")
+        except Exception as e:
+            print(f"LOADING FROM BAD PATH CHECKPOINT ({type(e).__name__}: {e})")
 
     df_train = pd.read_csv(p["DF_PATH_TRAIN"])
     df_valid = pd.read_csv(p["DF_PATH_VALID"])

@@ -1,0 +1,154 @@
+"""End-to-end training integration test: synthetic PDBs -> preprocessing CLI
+-> training loop (1 epoch) -> log + checkpoint -> resume. All host/CPU."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from na_mpnn_tpu import constants
+
+
+def _write_synthetic_pdb(path, L_protein=12, L_dna=10, seed=0):
+    """Protein chain A + DNA duplex-ish chain B with full backbone atoms."""
+    rng = np.random.RandomState(seed)
+    lines = []
+    serial = 1
+
+    def atom_line(name, resname, chain, resnum, xyz, element):
+        nonlocal serial
+        nm = name if len(name) == 4 else " " + name
+        line = (f"ATOM  {serial:>5} {nm:<4} {resname:>3} {chain}{resnum:>4}    "
+                f"{xyz[0]:8.3f}{xyz[1]:8.3f}{xyz[2]:8.3f}  1.00  0.00          "
+                f"{element:>2}")
+        lines.append(line)
+        serial += 1
+
+    pos = np.zeros(3)
+    protein_names = ["GLY", "ALA", "SER", "LEU"]
+    for i in range(L_protein):
+        pos = pos + rng.randn(3) * 1.5 + np.array([3.8, 0, 0])
+        resname = protein_names[i % len(protein_names)]
+        for name in constants.PROTEIN_BACKBONE_ATOMS:
+            atom_line(name, resname, "A", i + 1,
+                      pos + rng.randn(3) * 0.8, name[0])
+    pos = np.array([0.0, 15.0, 0.0])
+    dna_names = ["DA", "DC", "DG", "DT"]
+    for i in range(L_dna):
+        pos = pos + rng.randn(3) * 1.5 + np.array([4.5, 0, 0])
+        resname = dna_names[i % 4]
+        for name in constants.DNA_BACKBONE_ATOMS:
+            atom_line(name, resname, "B", i + 1,
+                      pos + rng.randn(3) * 1.0, name.strip("'0123456789")[0])
+    lines.append("END")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini_ds")
+    struct_dir = root / "structures"
+    os.makedirs(struct_dir)
+    rows = []
+    for i in range(3):
+        p = str(struct_dir / f"s{i}.pdb")
+        _write_synthetic_pdb(p, seed=i)
+        rows.append(p)
+
+    # run the preprocessing CLI to create the side files
+    import pandas as pd
+    csv_in = str(root / "input.csv")
+    pd.DataFrame({"structure_path": rows}).to_csv(csv_in, index=False)
+    out_dir = str(root / "preprocessed")
+    from na_mpnn_tpu.cli.preprocess import main as preprocess_main
+    cfg_path = str(root / "pp.json")
+    json.dump({"ATOMS_TO_LOAD": "backbone"}, open(cfg_path, "w"))
+    preprocess_main([csv_in, out_dir, "1", "0", cfg_path])
+
+    bad = os.listdir(os.path.join(out_dir, "bad"))
+    assert not bad, f"preprocessing failed for {bad}"
+
+    # training CSV with side-file paths
+    train_rows = []
+    for i, p in enumerate(rows):
+        name = f"s{i}"
+        train_rows.append({
+            "structure_path": p,
+            "sampling_probability": 1.0,
+            "date": "2020-01-01",
+            "ppm_paths": "[]",
+            "asmb_lengths_path": f"{out_dir}/asmb_lengths/{name}.npy",
+            "asmb_interface_masks_path": f"{out_dir}/asmb_interface_masks/{name}.npy",
+            "asmb_side_chain_interface_masks_path":
+                f"{out_dir}/asmb_side_chain_interface_masks/{name}.npy",
+            "asmb_nearest_protein_side_chain_index_path":
+                f"{out_dir}/asmb_nearest_protein_side_chain_index/{name}.npy",
+            "asmb_base_pair_masks_path": f"{out_dir}/asmb_base_pair_masks/{name}.npy",
+            "asmb_base_pair_index_path": f"{out_dir}/asmb_base_pair_index/{name}.npy",
+            "asmb_canonical_base_pair_masks_path":
+                f"{out_dir}/asmb_canonical_base_pair_masks/{name}.npy",
+            "asmb_canonical_base_pair_index_path":
+                f"{out_dir}/asmb_canonical_base_pair_index/{name}.npy",
+        })
+    train_csv = str(root / "train.csv")
+    pd.DataFrame(train_rows).to_csv(train_csv, index=False)
+    return {"root": str(root), "train_csv": train_csv}
+
+
+def test_preprocessing_outputs(mini_dataset):
+    out = os.path.join(mini_dataset["root"], "preprocessed")
+    lengths = np.load(os.path.join(out, "asmb_lengths", "s0.npy"),
+                      allow_pickle=True).item()
+    (macro_L, protein_L, dna_L, rna_L) = lengths["1"]
+    assert macro_L == 22 and protein_L == 12 and dna_L == 10 and rna_L == 0
+    seq_csv = open(os.path.join(out, "sequences", "s0.csv")).read()
+    assert "polypeptide(L)" in seq_csv and "polydeoxyribonucleotide" in seq_csv
+
+
+def test_training_loop_end_to_end(mini_dataset, tmp_path):
+    from na_mpnn_tpu.train.trainer import run_training
+
+    base = str(tmp_path / "run")
+    cfg = {
+        "VOCAB_SIZE": 33, "NUM_LETTERS": 33,
+        "PARSE_PROTEIN": 1, "PARSE_DNA": 1, "PARSE_RNA": 1,
+        "PARSE_RNA_AS_DNA": 0, "NA_SHARED_TOKENS": 1, "NA_REF_ATOM": "C1'",
+        "INCLUDE_PRED_NA_N": 1,
+        "PROTEIN_BACKBONE_OCC_CUTOFF": 0.8, "PROTEIN_SIDE_CHAIN_OCC_CUTOFF": 0.5,
+        "DNA_BACKBONE_OCC_CUTOFF": 0.8, "DNA_SIDE_CHAIN_OCC_CUTOFF": 0.5,
+        "RNA_BACKBONE_OCC_CUTOFF": 0.8, "RNA_SIDE_CHAIN_OCC_CUTOFF": 0.5,
+        "EXCLUDED_ELEMENTS": [1], "DATE_CUTOFF": "2030-01-01",
+        "MAX_NUMBER_OF_PDBS_TRAIN": 3, "MAX_NUMBER_OF_PDBS_VALID": 3,
+        "BATCH_TOKENS": 128, "LOSS_TOKENS": 128, "LABEL_SMOOTHING": 0.1,
+        "EXCLUDE_RES": ["HOH"], "MIN_PROTEIN_LENGTH_CUTOFF": 1,
+        "NUM_WORKERS": 0, "TOTAL_STEPS": 4, "RANDOMIZE_NMR_MODEL": 0,
+        "CROP_LARGE_STRUCTURES": 0, "MIN_OVERLAP_LENGTH": 5,
+        "DF_PATH_TRAIN": mini_dataset["train_csv"],
+        "DF_PATH_VALID": mini_dataset["train_csv"],
+        "BASE_FOLDER": base, "PREV_CHECKPOINT": "",
+        "HIDDEN_DIM": 32, "NUM_ENCODER_LAYERS": 1, "NUM_DECODER_LAYERS": 1,
+        "NUM_NEIGHBORS": 8, "DROPOUT": 0.1, "DECODE_PROTEIN_FIRST": 0,
+        "PROTEIN_BACKBONE_NOISE": 0.1, "DNA_BACKBONE_NOISE": 0.1,
+        "RNA_BACKBONE_NOISE": 0.1, "PARSE_PPMS": 0,
+        "NA_ONLY_AS_UNIFORM_PPM": 0, "DROP_PROTEIN_PROBABILITY": 0,
+        "PROTEIN_INTERFACE_RESIDUE_MUTATION_PROBABILITY": 0,
+        "MUTATE_BASE_PAIR_TOGETHER": 0,
+        "MUTATE_ENTIRE_SIDE_CHAIN_INTERFACE_PROBABILITY": 0,
+        "NA_NON_INTERFACE_AS_UNIFORM_PPM": 0, "GRADIENT_NORM": 1.0,
+        "MIXED_PRECISION": 0, "SAVE_EVERY_N_STEPS": 2,
+        "ATOMS_TO_LOAD": "backbone", "METRICS_TO_COMPUTE": "basic",
+    }
+    trainer = run_training(cfg, max_epochs=2)
+    assert trainer.step >= 2
+    assert os.path.exists(base + "/last.npz")
+    log = open(base + "/log.txt").read()
+    assert "train_loss" in log and "valid_accuracy" in log
+    jsonl = [json.loads(l) for l in open(base + "/log.jsonl")]
+    assert np.isfinite(jsonl[-1]["train_loss"])
+
+    # resume: restores step + optimizer state
+    cfg2 = dict(cfg)
+    cfg2["PREV_CHECKPOINT"] = base + "/last.npz"
+    trainer2 = run_training(cfg2, max_epochs=1)
+    assert trainer2.step > trainer.step - 1
