@@ -29,7 +29,9 @@ def main():
 
     # Training-shaped batch: 8 structures x 768 residues ~= 6000 tokens.
     B, L = 8, 768
-    cfg = ModelConfig(dropout=0.0)
+    # Production config: bf16 trunk (the TPU analog of the reference's AMP
+    # training, na_run.py:21,216-237) + Pallas kernels.
+    cfg = ModelConfig(dropout=0.0, compute_dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(0), cfg)
     batch = {k: jnp.asarray(v) for k, v in _synthetic_batch(B=B, L=L).items()}
 

@@ -36,10 +36,13 @@ def linear(p, x):
 
 
 def layer_norm(p, x):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + LN_EPS)
-    return y * p["scale"] + p["bias"]
+    # Statistics in (at least) fp32 even when activations are bf16.
+    stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(stat_dtype)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def dropout(x, rate: float, key: Optional[jax.Array], deterministic: bool):

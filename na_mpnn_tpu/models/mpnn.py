@@ -121,6 +121,18 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     h_V = linear(params["W_v"], V)
     h_E = linear(params["W_e"], E)
 
+    if cfg.compute_dtype == "bfloat16":
+        # bf16 trunk: halves activation traffic through the MPNN layers;
+        # layer-norm statistics stay fp32 (modules.layer_norm).
+        params = {**params,
+                  "encoder": jax.tree.map(
+                      lambda x: jnp.asarray(x).astype(jnp.bfloat16)
+                      if jnp.asarray(x).dtype == jnp.float32 else x,
+                      params["encoder"])}
+        h_V = h_V.astype(jnp.bfloat16)
+        h_E = h_E.astype(jnp.bfloat16)
+        mask = mask.astype(jnp.bfloat16)
+
     mask_attend = gather_nodes(mask[..., None], E_idx)[..., 0]
     mask_attend = mask[:, :, None] * mask_attend
 
@@ -157,6 +169,18 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
     so no [B,L,K,3H] concat is ever materialized.
     """
     from .modules import _message_tail, _split_w1, dropout, layer_norm, pff_apply
+
+    if cfg.compute_dtype == "bfloat16":
+        dec_params = jax.tree.map(
+            lambda x: jnp.asarray(x).astype(jnp.bfloat16)
+            if jnp.asarray(x).dtype == jnp.float32 else x, params["decoder"])
+        params = {**params, "decoder": dec_params}
+        h_V = h_V.astype(jnp.bfloat16)
+        h_E = h_E.astype(jnp.bfloat16)
+        h_S = h_S.astype(jnp.bfloat16)
+        mask = mask.astype(jnp.bfloat16)
+        mask_bw = mask_bw.astype(jnp.bfloat16)
+        mask_fw = mask_fw.astype(jnp.bfloat16)
 
     H = h_V.shape[-1]
     h_V_enc = h_V
@@ -227,6 +251,8 @@ def forward(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     h_V = _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S,
                             mask_bw, mask_fw, dec_keys, deterministic)
 
+    if h_V.dtype == jnp.bfloat16:
+        h_V = h_V.astype(jnp.float32)
     logits = linear(params["W_out"], h_V)
     return jax.nn.log_softmax(logits, axis=-1), jax.nn.softmax(logits, axis=-1)
 
