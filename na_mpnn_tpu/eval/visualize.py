@@ -1,0 +1,154 @@
+"""Visualization & log analysis.
+
+Script-form port of the reference notebooks (reference visualization/*.ipynb):
+training-curve parsing of the epoch log lines, in-silico result aggregation,
+and PPM sequence logos.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def parse_training_log(log_path: str) -> "pandas.DataFrame":
+    """Parse the metric-manager epoch lines of log.txt into a DataFrame
+    (the reference's plot_training_metrics.ipynb parses the same format:
+    'epoch: N, step: N, ..., <mask>_<metric>: value, ...')."""
+    import pandas as pd
+
+    rows = []
+    for line in open(log_path):
+        line = line.strip()
+        if not line.startswith("epoch:"):
+            continue
+        row: Dict = {}
+        for item in line.split(", "):
+            if ": " not in item:
+                continue
+            k, v = item.split(": ", 1)
+            try:
+                row[k] = float(v)
+            except ValueError:
+                row[k] = v
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def plot_training_metrics(log_path: str, metrics=("loss", "accuracy"),
+                          splits=("train", "valid"), out_path: Optional[str] = None):
+    """Training curves for the given metric/split combinations."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    df = parse_training_log(log_path)
+    fig, axes = plt.subplots(1, len(metrics), figsize=(5 * len(metrics), 4))
+    if len(metrics) == 1:
+        axes = [axes]
+    for ax, metric in zip(axes, metrics):
+        for split in splits:
+            col = f"{split}_{metric}"
+            if col in df:
+                ax.plot(df["step"], df[col], label=split)
+        ax.set_xlabel("step")
+        ax.set_ylabel(metric)
+        ax.legend()
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+    return fig
+
+
+def sequence_logo(ppm: np.ndarray, alphabet=("A", "C", "G", "T"),
+                  out_path: Optional[str] = None, title: str = ""):
+    """Information-content-scaled sequence logo from an [L,4] PPM (role of
+    the reference's seq-logo notebook cells)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ppm = np.asarray(ppm, np.float64)
+    eps = 1e-10
+    p = (ppm + eps) / (ppm + eps).sum(-1, keepdims=True)
+    ic = np.log2(len(alphabet)) + np.sum(p * np.log2(p), axis=-1)  # bits
+    heights = p * ic[:, None]
+
+    colors = {"A": "#109648", "C": "#255C99", "G": "#F7B32B", "T": "#D62839",
+              "U": "#D62839"}
+    fig, ax = plt.subplots(figsize=(max(4, 0.45 * len(ppm)), 2.5))
+    for pos in range(len(ppm)):
+        order = np.argsort(heights[pos])
+        y = 0.0
+        for k in order:
+            h = heights[pos, k]
+            if h <= 0:
+                continue
+            ax.text(pos + 0.5, y + h / 2, alphabet[k], ha="center", va="center",
+                    fontsize=14, fontweight="bold",
+                    color=colors.get(alphabet[k], "black"),
+                    transform=ax.transData)
+            y += h
+    ax.set_xlim(0, len(ppm))
+    ax.set_ylim(0, np.log2(len(alphabet)))
+    ax.set_xlabel("position")
+    ax.set_ylabel("bits")
+    ax.set_title(title)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+    return fig
+
+
+def aggregate_result_jsons(results_glob: str) -> "pandas.DataFrame":
+    """Collect per-design/per-structure score JSONs into one table (role of
+    the reference plot_in_silico_results.ipynb aggregation cells)."""
+    import pandas as pd
+
+    rows = []
+    for path in sorted(glob.glob(results_glob)):
+        try:
+            row = json.load(open(path))
+        except json.JSONDecodeError:
+            continue
+        flat = {k: v for k, v in row.items()
+                if np.isscalar(v) or isinstance(v, str)}
+        flat["result_path"] = path
+        rows.append(flat)
+    return pd.DataFrame(rows)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("curves")
+    c.add_argument("log_path")
+    c.add_argument("out_path")
+    lg = sub.add_parser("logo")
+    lg.add_argument("specificity_npz")
+    lg.add_argument("out_path")
+    ag = sub.add_parser("aggregate")
+    ag.add_argument("results_glob")
+    ag.add_argument("out_csv")
+    args = p.parse_args(argv)
+
+    if args.cmd == "curves":
+        plot_training_metrics(args.log_path, out_path=args.out_path)
+    elif args.cmd == "logo":
+        from .harness import compute_human_readable_ppm
+        data = np.load(args.specificity_npz, allow_pickle=True)
+        hr = compute_human_readable_ppm(data["predicted_ppm"],
+                                        data["dna_mask"], data["rna_mask"])
+        sequence_logo(hr, out_path=args.out_path)
+    elif args.cmd == "aggregate":
+        aggregate_result_jsons(args.results_glob).to_csv(args.out_csv, index=False)
+
+
+if __name__ == "__main__":
+    main()

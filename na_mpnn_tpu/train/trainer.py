@@ -252,11 +252,25 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
         randomize_nmr_model=bool(p.get("RANDOMIZE_NMR_MODEL", 0)))
     dataset = NADataset(cif_parser=cif_parser, pdb_parser=pdb_parser, config=ds_cfg)
 
+    # Multi-host bring-up from the launcher's env (scripts/launch_training.sh),
+    # then a data-parallel mesh over every available chip.
+    num_processes = int(os.environ.get("NA_MPNN_NUM_PROCESSES", "1"))
+    if num_processes > 1:
+        from ..parallel.mesh import initialize_distributed
+        initialize_distributed(os.environ.get("NA_MPNN_COORDINATOR_ADDRESS"),
+                               num_processes,
+                               int(os.environ.get("NA_MPNN_PROCESS_ID", "0")))
+    mesh = None
+    if jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(graph_axis=int(p.get("MESH_GRAPH_AXIS", 1)))
+
     cfg = model_config_from_params(p)
     trainer = Trainer(cfg, label_smoothing=p["LABEL_SMOOTHING"],
                       loss_tokens=float(p["LOSS_TOKENS"]),
                       grad_clip_norm=p["GRADIENT_NORM"],
-                      na_shared_tokens=bool(p["NA_SHARED_TOKENS"]))
+                      na_shared_tokens=bool(p["NA_SHARED_TOKENS"]),
+                      seed=int(p.get("SEED", 0)), mesh=mesh)
 
     epoch0, save_step = 0, 0
     if p.get("PREV_CHECKPOINT"):
@@ -293,7 +307,15 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
                 date_cutoff, bool(p["CROP_LARGE_STRUCTURES"]), max_pdbs)
             for cluster in batch_iter:
                 structures = [dataset.loader(ex, aid) for ex, aid in cluster]
-                np_batch = collate_batch([s for s in structures if s])
+                structures = [s for s in structures if s]
+                if mesh is not None and structures:
+                    # Batch dim must divide the data-parallel axis; padded
+                    # rows are fully masked (PAD tokens carry no loss).
+                    dp = mesh.shape["data"]
+                    pad_b = -(-len(structures) // dp) * dp
+                else:
+                    pad_b = None
+                np_batch = collate_batch(structures, pad_batch_to=pad_b)
                 if np_batch is None:
                     continue
                 if use_interface:
