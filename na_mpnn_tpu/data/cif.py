@@ -239,7 +239,11 @@ class CIFParser:
     def __init__(self, skip_res=(), randomize_nmr_model=False, rng=None):
         self.skip_res = set(skip_res)
         self.randomize_nmr_model = randomize_nmr_model
-        self.rng = rng if rng is not None else np.random
+        self._rng = rng  # None -> np.random (kept picklable for loader workers)
+
+    @property
+    def rng(self):
+        return self._rng if self._rng is not None else np.random
 
     def parse(self, filename: str):
         tables = read_cif(filename)

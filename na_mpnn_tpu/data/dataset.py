@@ -113,7 +113,9 @@ class NADataset:
         self.cfg = config or DatasetConfig()
         self.cif_parser = cif_parser
         self.pdb_parser = pdb_parser
-        self.rng = rng if rng is not None else np.random
+        # Stored as _rng so the dataset pickles into loader worker processes
+        # (the np.random module object is not picklable).
+        self._rng = rng
 
         c = self.cfg
         self.atom_dict = {a: i for i, a in enumerate(c.atom_list_to_save)}
@@ -140,6 +142,10 @@ class NADataset:
                            if a in self.atom_dict]
         self.rna_bb_idx = [self.atom_dict[a] for a in constants.RNA_BACKBONE_ATOMS
                            if a in self.atom_dict]
+
+    @property
+    def rng(self):
+        return self._rng if self._rng is not None else np.random
 
     # -- parsing ---------------------------------------------------------
 

@@ -1,0 +1,167 @@
+"""ctypes bindings for the native C++ structure parser (native/na_parse.cc).
+
+The library self-builds with g++ on first use and caches the .so next to the
+source; every caller falls back to the pure-Python parsers when the toolchain
+or build is unavailable (`native_available()`).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "na_parse.cc")
+_LIB = os.path.join(_REPO_ROOT, "native", "libna_parse.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC,
+             "-lz"],
+            check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        stderr = getattr(e, "stderr", b"")
+        print("native parser build failed:",
+              stderr.decode() if stderr else e)
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+            if not os.path.exists(_SRC) or not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(_LIB)
+        lib.na_parse_structure.restype = ctypes.c_void_p
+        lib.na_parse_structure.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                           ctypes.c_int]
+        lib.na_parse_num_atoms.restype = ctypes.c_int64
+        lib.na_parse_num_atoms.argtypes = [ctypes.c_void_p]
+        lib.na_parse_error.restype = ctypes.c_char_p
+        lib.na_parse_error.argtypes = [ctypes.c_void_p]
+        lib.na_parse_free.argtypes = [ctypes.c_void_p]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.na_parse_copy.argtypes = [ctypes.c_void_p, f32p, f32p, f32p, i32p,
+                                      i32p, u8p, u8p, u8p, u8p, u8p, u8p, u8p,
+                                      i32p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativeAtomTable:
+    """Column-oriented atom table parsed by the native library."""
+
+    __slots__ = ["n", "xyz", "occ", "bfac", "resnum", "serial", "name",
+                 "resname", "chain", "icode", "element", "altloc", "hetero",
+                 "model"]
+
+    def __init__(self, n):
+        self.n = n
+        self.xyz = np.empty((n, 3), np.float32)
+        self.occ = np.empty(n, np.float32)
+        self.bfac = np.empty(n, np.float32)
+        self.resnum = np.empty(n, np.int32)
+        self.serial = np.empty(n, np.int32)
+        self.name = np.empty((n, 8), np.uint8)
+        self.resname = np.empty((n, 8), np.uint8)
+        self.chain = np.empty((n, 4), np.uint8)
+        self.icode = np.empty(n, np.uint8)
+        self.element = np.empty((n, 4), np.uint8)
+        self.altloc = np.empty(n, np.uint8)
+        self.hetero = np.empty(n, np.uint8)
+        self.model = np.empty(n, np.int32)
+
+    @staticmethod
+    def _str(a):
+        return a.tobytes().decode("ascii", "replace").rstrip("\x00").strip()
+
+    def name_str(self, i):
+        return self._str(self.name[i])
+
+    def resname_str(self, i):
+        return self._str(self.resname[i])
+
+    def chain_str(self, i):
+        return self._str(self.chain[i])
+
+
+def parse_structure_native(path: str, first_model_only: bool = True
+                           ) -> Optional[NativeAtomTable]:
+    """Parse PDB/mmCIF (optionally gzipped) via the native library.
+    Returns None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    is_cif = int(".cif" in os.path.basename(path))
+    h = lib.na_parse_structure(path.encode(), is_cif, int(first_model_only))
+    try:
+        err = lib.na_parse_error(h)
+        if err:
+            raise IOError(f"{path}: {err.decode()}")
+        n = lib.na_parse_num_atoms(h)
+        t = NativeAtomTable(n)
+        if n:
+            lib.na_parse_copy(h, t.xyz, t.occ, t.bfac, t.resnum, t.serial,
+                              t.name.reshape(-1), t.resname.reshape(-1),
+                              t.chain.reshape(-1), t.icode, t.element.reshape(-1),
+                              t.altloc, t.hetero, t.model)
+        return t
+    finally:
+        lib.na_parse_free(h)
+
+
+def read_pdb_atoms_native(path: str, first_model_only: bool = True) -> List:
+    """Native-parser drop-in for data.pdb.read_pdb_atoms: ATOM/HETATM records
+    with altloc in (' ', 'A') and occupancy > 0, as PDBAtom objects."""
+    from .pdb import PDBAtom
+
+    t = parse_structure_native(path, first_model_only)
+    if t is None:
+        return None
+    out = []
+    first_model = t.model[0] if t.n else 1
+    for i in range(t.n):
+        if first_model_only and t.model[i] != first_model:
+            break
+        alt = chr(t.altloc[i]) if t.altloc[i] else " "
+        if alt not in (" ", "A"):
+            continue
+        if t.occ[i] <= 0:
+            continue
+        element = t._str(t.element[i]).upper()
+        name = t.name_str(i)
+        if not element:
+            for ch in name:
+                if ch.isalpha():
+                    element = ch.upper()
+                    break
+        icode = chr(t.icode[i]).strip() if t.icode[i] else ""
+        out.append(PDBAtom("HETATM" if t.hetero[i] else "ATOM",
+                           int(t.serial[i]), name, alt, t.resname_str(i),
+                           t.chain_str(i) or " ", int(t.resnum[i]), icode,
+                           t.xyz[i].copy(), float(t.occ[i]), float(t.bfac[i]),
+                           element, ""))
+    return out

@@ -81,8 +81,21 @@ def _parse_atom_line(line: str) -> Optional[PDBAtom]:
         return None
 
 
-def read_pdb_atoms(path: str, first_model_only: bool = True) -> List[PDBAtom]:
-    """Read ATOM/HETATM records (altloc ' ' or 'A', occupancy > 0)."""
+def read_pdb_atoms(path: str, first_model_only: bool = True,
+                   use_native: bool = True) -> List[PDBAtom]:
+    """Read ATOM/HETATM records (altloc ' ' or 'A', occupancy > 0).
+
+    Uses the C++ tokenizer (native/na_parse.cc) when available; the pure-
+    Python path below is the fallback and the semantic reference."""
+    if use_native:
+        try:
+            from .native_loader import native_available, read_pdb_atoms_native
+            if native_available():
+                atoms = read_pdb_atoms_native(path, first_model_only)
+                if atoms is not None:
+                    return atoms
+        except Exception:  # noqa: BLE001 — never let the fast path break IO
+            pass
     opener = gzip.open if path.endswith(".gz") else open
     atoms = []
     with opener(path, "rt") as f:

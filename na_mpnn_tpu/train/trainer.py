@@ -29,7 +29,7 @@ import numpy as np
 
 from ..models import ModelConfig, forward, init_params
 from .checkpoint import load_checkpoint_npz, save_checkpoint_npz
-from .collate import collate_batch
+
 from .losses import (compute_canonical_base_pair_accuracy, loss_nll,
                      loss_smoothed, make_polymer_restype_masks, mask_for_loss)
 from .metrics import generate_metric_manager
@@ -305,19 +305,13 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
             batch_iter = make_batch_iter(
                 df, p["BATCH_TOKENS"], p["MIN_PROTEIN_LENGTH_CUTOFF"],
                 date_cutoff, bool(p["CROP_LARGE_STRUCTURES"]), max_pdbs)
-            for cluster in batch_iter:
-                structures = [dataset.loader(ex, aid) for ex, aid in cluster]
-                structures = [s for s in structures if s]
-                if mesh is not None and structures:
-                    # Batch dim must divide the data-parallel axis; padded
-                    # rows are fully masked (PAD tokens carry no loss).
-                    dp = mesh.shape["data"]
-                    pad_b = -(-len(structures) // dp) * dp
-                else:
-                    pad_b = None
-                np_batch = collate_batch(structures, pad_batch_to=pad_b)
-                if np_batch is None:
-                    continue
+            from ..data.loader import PrefetchLoader
+            loader = PrefetchLoader(
+                dataset, batch_iter, num_workers=int(p.get("NUM_WORKERS", 0)),
+                # Batch dim must divide the data-parallel axis; padded rows
+                # are fully masked (PAD tokens carry no loss).
+                pad_batch_multiple=mesh.shape["data"] if mesh is not None else None)
+            for np_batch in loader:
                 if use_interface:
                     interface = {"interface": jnp.asarray(np_batch["interface_mask"]),
                                  "nonInterface": 1 - jnp.asarray(np_batch["interface_mask"])}

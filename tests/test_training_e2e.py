@@ -152,3 +152,27 @@ def test_training_loop_end_to_end(mini_dataset, tmp_path):
     cfg2["PREV_CHECKPOINT"] = base + "/last.npz"
     trainer2 = run_training(cfg2, max_epochs=1)
     assert trainer2.step > trainer.step - 1
+
+
+def test_prefetch_loader_workers(mini_dataset):
+    """PrefetchLoader with worker processes produces the same batches as the
+    inline path."""
+    import pandas as pd
+    from na_mpnn_tpu.data.dataset import DatasetConfig, NADataset, make_batch_iter
+    from na_mpnn_tpu.data.loader import PrefetchLoader
+    from na_mpnn_tpu.data.parsers import make_parsers
+
+    df = pd.read_csv(mini_dataset["train_csv"])
+    df["date"] = pd.to_datetime(df["date"], format="%Y-%m-%d")
+    cif, pdb = make_parsers()
+    ds = NADataset(cif_parser=cif, pdb_parser=pdb,
+                   config=DatasetConfig(batch_tokens=128))
+    cutoff = pd.to_datetime("2030-01-01", format="%Y-%m-%d")
+    np.random.seed(0)
+    clusters = list(make_batch_iter(df, 128, 1, cutoff, False, 10))
+    inline = [b for b in PrefetchLoader(ds, clusters, num_workers=0)]
+    pooled = [b for b in PrefetchLoader(ds, clusters, num_workers=2)]
+    assert len(inline) == len(pooled) > 0
+    for a, b in zip(inline, pooled):
+        np.testing.assert_array_equal(a["X"], b["X"])
+        np.testing.assert_array_equal(a["S"], b["S"])
