@@ -140,6 +140,15 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         return enc_layer_apply(layer_params, h_V, h_E, E_idx, mask, mask_attend,
                                cfg.dropout, lkey, deterministic)
 
+    use_fused = deterministic and _use_fused_layers(cfg)
+    if use_fused:
+        from ..ops.fused_layers import enc_layer_fused
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        for layer_params in params["encoder"]:
+            h_V, h_E = enc_layer_fused(layer_params, h_V, h_E, E_idx, mask,
+                                       mask_attend, compute_dtype=cdt)
+        return h_V, h_E, E_idx
+
     for i, layer_params in enumerate(params["encoder"]):
         if not deterministic:
             # Rematerialize each encoder layer during training: trades FLOPs
@@ -149,6 +158,11 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         else:
             h_V, h_E = run_layer(layer_params, h_V, h_E, layer_keys[i])
     return h_V, h_E, E_idx
+
+
+def _use_fused_layers(cfg: ModelConfig) -> bool:
+    from .features import _use_pallas_kernels
+    return _use_pallas_kernels(cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +223,18 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
         h_V = layer_norm(layer_params["norm2"],
                          h_V + dropout(dh, cfg.dropout, k2, deterministic))
         return mask[..., None] * h_V
+
+    if deterministic and _use_fused_layers(cfg):
+        from ..ops.fused_layers import dec_layer_fused
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        for layer_params in params["decoder"]:
+            _, wv, _, static = static_terms(layer_params)
+            # the kernel re-adds b1; keep it out of the static term here
+            static = static - layer_params["W1"]["b"]
+            G_v = mask_bw * gather_nodes(jnp.dot(h_V, wv), E_idx)
+            h_V = dec_layer_fused(layer_params, h_V, static, G_v, mask,
+                                  compute_dtype=cdt)
+        return h_V
 
     for i, layer_params in enumerate(params["decoder"]):
         if not deterministic:

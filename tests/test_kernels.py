@@ -73,3 +73,53 @@ def test_rbf_edge_features_grad_matches_reference():
     gw_pal = jax.grad(loss_pal)(W)
     np.testing.assert_allclose(np.asarray(gw_pal), np.asarray(gw_ref),
                                atol=1e-3)
+
+
+def test_fused_enc_layer_matches_reference():
+    from na_mpnn_tpu.models.modules import enc_layer_apply, gather_nodes
+    from na_mpnn_tpu.ops.fused_layers import enc_layer_fused
+
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    p = params["encoder"][0]
+    batch, X_aug, X_m_aug, X_ref = _geom(L=48)
+    _, E_idx = knn_graph(X_ref, batch["mask"], 32)
+    B, L, K = E_idx.shape
+    h_V = jax.random.normal(jax.random.PRNGKey(4), (B, L, 128))
+    h_E = jax.random.normal(jax.random.PRNGKey(5), (B, L, K, 128))
+    mask = batch["mask"].astype(jnp.float32)
+    mask_attend = mask[:, :, None] * gather_nodes(mask[..., None], E_idx)[..., 0]
+
+    ref_V, ref_E = enc_layer_apply(p, h_V, h_E, E_idx, mask, mask_attend)
+    out_V, out_E = enc_layer_fused(p, h_V, h_E, E_idx, mask, mask_attend,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(out_V), np.asarray(ref_V), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_E), np.asarray(ref_E), atol=2e-5)
+
+
+def test_fused_forward_full_model_interpret():
+    """Full forward with fused layers (interpret mode) vs the XLA path."""
+    import na_mpnn_tpu.models.mpnn as mpnn_mod
+    import na_mpnn_tpu.ops.fused_layers as fl
+    from na_mpnn_tpu.models import forward
+
+    batch, _, _, _ = _geom(L=48)
+    L = 48
+    order = jnp.tile(jnp.arange(L)[None], (2, 1))
+    params = init_params(jax.random.PRNGKey(6), CFG)
+    ref_lp, _ = forward(params, CFG, {**batch, "decoding_order": order})
+
+    # force the fused path with interpreted kernels on CPU
+    orig_use = mpnn_mod._use_fused_layers
+    orig_enc = fl.enc_layer_fused
+    orig_dec = fl.dec_layer_fused
+    try:
+        mpnn_mod._use_fused_layers = lambda cfg: True
+        fl.enc_layer_fused = lambda *a, **k: orig_enc(*a, **{**k, "interpret": True})
+        fl.dec_layer_fused = lambda *a, **k: orig_dec(*a, **{**k, "interpret": True})
+        fused_lp, _ = forward(params, CFG, {**batch, "decoding_order": order})
+    finally:
+        mpnn_mod._use_fused_layers = orig_use
+        fl.enc_layer_fused = orig_enc
+        fl.dec_layer_fused = orig_dec
+    np.testing.assert_allclose(np.asarray(fused_lp), np.asarray(ref_lp),
+                               atol=5e-4)
