@@ -192,3 +192,118 @@ def test_sample_parity_low_temperature(dtype, atol):
             assert probs_diff.max() < atol
         else:
             assert probs_diff.mean() < 1e-3
+
+
+def test_sample_pair_bias_parity_float64():
+    """Neighbor pair-bias sampling: our O(1)-per-step diagonal formulation vs
+    the reference's dense [1,L,33,L,33] tensor (inference/data_utils.py:7-16,
+    inference/model_utils.py:169-172,193-194)."""
+    import torch
+    from na_mpnn_tpu.data.featurize import make_pair_bias_ctx
+
+    with _x64("float64"):
+        model, params, batch, fd = _setup("float64", L=32, seed=13)
+        L = 32
+        torch.manual_seed(23)
+        randn = torch.randn(1, L).double()
+        chain_mask_np = np.ones((1, L), np.int32)
+
+        # reference pair bias tensor (reimplemented here exactly as
+        # inference/data_utils.make_pair_bias — that module imports prody and
+        # cannot be loaded)
+        nl = constants.NUM_LETTERS
+        pair_bias_AA = torch.zeros(nl, nl, dtype=torch.float64)
+        table = constants.restype_to_int_table(True)
+        pair_bias_AA[table["DA"], table["DT"]] = -4.0
+        pair_bias_AA[table["DG"], table["DC"]] = 3.0
+        chain_labels = fd["chain_labels"][0]
+        R_idx = fd["R_idx"][0]
+        d_chains = ((chain_labels[:, None] - chain_labels[None, :]) == 0).long()
+        upper = (R_idx[1:] - R_idx[:-1] == 1).long()
+        lower = (R_idx[:-1] - R_idx[1:] == -1).long()
+        u_mask = torch.diag(upper, 1) * d_chains
+        l_mask = torch.diag(lower, -1) * d_chains
+        pair_bias = (u_mask[None, :, None, :, None] * pair_bias_AA[None, None, :, None, :]
+                     + l_mask[None, :, None, :, None]
+                     * pair_bias_AA.T[None, None, :, None, :])
+
+        omit_idx = [table[t] for t in ["UNK", "DX", "RX", "MAS", "PAD"]]
+        bias_np = np.zeros((1, L, nl), np.float32)
+        bias_np[:, :, omit_idx] = -1e8
+
+        fd = dict(fd)
+        fd["randn"] = randn
+        fd["chain_mask"] = torch.from_numpy(chain_mask_np).to(fd["mask"].dtype)
+        fd["batch_size"] = 1
+        fd["temperature"] = 1e-4
+        fd["bias"] = torch.from_numpy(bias_np).double()
+        fd["pair_bias"] = pair_bias
+        fd["symmetry_residues"] = [[]]
+        fd["symmetry_weights"] = [[]]
+        with torch.no_grad():
+            out_t = model.sample(fd)
+
+        decoding_order = np.argsort(
+            ((fd["mask"].double() + 0.0001) * torch.abs(randn)).numpy(), axis=-1)
+        ctx = make_pair_bias_ctx(np.asarray(batch["chain_labels"][0]),
+                                 np.asarray(batch["R_idx"][0]),
+                                 np.asarray(pair_bias_AA))
+        out = sample(params, CFG,
+                     {**batch, "chain_mask": jnp.asarray(chain_mask_np),
+                      "decoding_order": jnp.asarray(decoding_order)},
+                     key=jax.random.PRNGKey(0), num_samples=1, temperature=1e-4,
+                     bias=jnp.asarray(bias_np), pair_bias_ctx=ctx)
+        np.testing.assert_array_equal(np.asarray(out["S"]), out_t["S"].numpy())
+        np.testing.assert_allclose(np.asarray(out["sampling_probs"]),
+                                   out_t["sampling_probs"].numpy(), atol=1e-7)
+
+
+def test_sample_tied_symmetry_parity_float64():
+    """Symmetry-tied decoding: our padded-group scan vs the reference's
+    symmetry branch (inference/model_utils.py:219-327) at T->0."""
+    import torch
+    from na_mpnn_tpu.models.mpnn import build_decode_groups, sample_tied
+
+    with _x64("float64"):
+        model, params, batch, fd = _setup("float64", L=32, seed=19)
+        L = 32
+        torch.manual_seed(29)
+        randn = torch.randn(1, L).double()
+        chain_mask_np = np.ones((1, L), np.int32)
+        chain_mask_np[0, 6] = 0  # one fixed member inside a tied group
+
+        table = constants.restype_to_int_table(True)
+        omit_idx = [table[t] for t in ["UNK", "DX", "RX", "MAS", "PAD"]]
+        bias_np = np.zeros((1, L, constants.NUM_LETTERS), np.float32)
+        bias_np[:, :, omit_idx] = -1e8
+
+        sym = [[2, 3, 4], [6, 7], [20, 25]]
+        weights = [[1.0, 1.0, 1.0], [2.0, 0.5], [1.0, -1.0]]
+
+        fd = dict(fd)
+        fd["randn"] = randn
+        fd["chain_mask"] = torch.from_numpy(chain_mask_np).to(fd["mask"].dtype)
+        fd["batch_size"] = 1
+        fd["temperature"] = 1e-4
+        fd["bias"] = torch.from_numpy(bias_np).double()
+        fd["symmetry_residues"] = sym
+        fd["symmetry_weights"] = weights
+        with torch.no_grad():
+            out_t = model.sample(fd)
+
+        chain_mask_f = fd["mask"].double() * fd["chain_mask"].double()
+        base_order = np.argsort(
+            ((chain_mask_f + 0.0001) * torch.abs(randn)).numpy(), axis=-1)[0]
+        groups, gweights, flat = build_decode_groups(base_order, sym, weights, L)
+        np.testing.assert_array_equal(flat, out_t["decoding_order"][0].numpy())
+
+        out = sample_tied(params, CFG,
+                          {**batch, "chain_mask": jnp.asarray(chain_mask_np)},
+                          jax.random.PRNGKey(0), groups, gweights, flat,
+                          num_samples=1, temperature=1e-4,
+                          bias=jnp.asarray(bias_np))
+        np.testing.assert_array_equal(np.asarray(out["S"]), out_t["S"].numpy())
+        np.testing.assert_allclose(np.asarray(out["sampling_probs"]),
+                                   out_t["sampling_probs"].numpy(), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(out["log_probs"]),
+                                   out_t["log_probs"].numpy(), atol=1e-7)
