@@ -8,9 +8,8 @@ collated by train.collate into fixed-bucket dense batches.
 from __future__ import annotations
 
 import ast
-import copy
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

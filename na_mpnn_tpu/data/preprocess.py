@@ -14,7 +14,7 @@ loader (reference na_data_utils.py:906-957).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

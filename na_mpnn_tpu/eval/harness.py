@@ -17,8 +17,7 @@ import gzip
 import json
 import os
 import shutil
-import sys
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -9,8 +9,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-import re
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

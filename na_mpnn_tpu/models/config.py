@@ -2,7 +2,6 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 from .. import constants
 

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import ModelConfig
 from ..models.features import (build_augmented_atoms, positional_embed,
-                               rbf_embed, all_pair_rbf)
+                               rbf_embed)
 from ..models.modules import (_message_tail, _split_w1, gather_nodes,
                               layer_norm, linear, pff_apply)
 

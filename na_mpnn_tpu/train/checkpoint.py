@@ -16,7 +16,7 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.torch_import import from_torch_state_dict, to_torch_state_dict
+from ..models.torch_import import to_torch_state_dict
 
 _SEP = "/"
 
