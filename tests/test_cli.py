@@ -129,3 +129,44 @@ def test_symmetry_and_fixed_residues_4oqu(random_ckpt, tmp_path):
     assert S[2] == S[3]
     # fixed residues keep native identity
     assert S[4] == S_native[4] and S[5] == S_native[5]
+
+
+def test_fixed_pos_by_pdb_and_misc_flags(random_ckpt, tmp_path):
+    """fixed_pos_by_pdb JSON, redesigned_residues, parse_these_chains_only,
+    file_ending, bias_AA (reference inference/run.py:236-343)."""
+    import json
+    from na_mpnn_tpu.cli.run import apply_mode_defaults, build_argparser, main
+
+    fixed_json = tmp_path / "fixed.json"
+    json.dump({f"{EXAMPLES}/4oqu.pdb": ["A1", "A2", "A3"]}, open(fixed_json, "w"))
+    out = str(tmp_path / "o1")
+    args = build_argparser().parse_args([
+        "--mode", "design", "--checkpoint_na_mpnn", random_ckpt,
+        "--fixed_pos_by_pdb", str(fixed_json), "--out_folder", out,
+        "--seed", "5", "--batch_size", "1", "--save_stats", "1",
+        "--stats_format", "npz", "--output_pdbs", "0", "--file_ending", "_v2",
+        "--bias_AA", "b:2.0",
+    ])
+    main(apply_mode_defaults(args))
+    assert os.path.exists(out + "/seqs/4oqu.fa_v2")
+    stats = np.load(out + "/stats/4oqu.npz")
+    S = stats["generated_sequences"][0]
+    np.testing.assert_array_equal(S[:3], stats["native_sequence"][:3])
+
+    # redesigned_residues: ONLY those positions change; chain selection parses
+    out2 = str(tmp_path / "o2")
+    args = build_argparser().parse_args([
+        "--mode", "design", "--checkpoint_na_mpnn", random_ckpt,
+        "--pdb_path", f"{EXAMPLES}/4oqu.pdb", "--out_folder", out2,
+        "--seed", "5", "--batch_size", "1", "--save_stats", "1",
+        "--stats_format", "npz", "--output_pdbs", "0",
+        "--redesigned_residues", "A4 A5", "--parse_these_chains_only", "A",
+    ])
+    main(apply_mode_defaults(args))
+    stats2 = np.load(out2 + "/stats/4oqu.npz")
+    cm = stats2["chain_mask"]
+    assert cm.sum() == 2 and cm[3] == 1 and cm[4] == 1
+    S2 = stats2["generated_sequences"][0]
+    native = stats2["native_sequence"]
+    fixed_idx = np.where(cm == 0)[0]
+    np.testing.assert_array_equal(S2[fixed_idx], native[fixed_idx])
