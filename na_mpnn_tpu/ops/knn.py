@@ -51,6 +51,58 @@ def _kernel(xq_ref, xk_ref, mq_ref, mk_ref, val_ref, idx_ref, *, k, eps):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_graph_pallas_qk(X_q, X_k, mask_q, mask_k, k=32, eps=1e-6,
+                        interpret=False):
+    """Query/key variant: X_q [B,Lq,3] query rows vs X_k [B,Lk,3] keys ->
+    (D_neighbors [B,Lq,k], E_idx [B,Lq,k] of key indices). Used by the
+    edge-partitioned forward (local queries, global keys); identical row
+    semantics to knn_graph_pallas."""
+    B, Lq_orig, _ = X_q.shape
+    Lk = X_k.shape[1]
+    k = min(k, Lk)
+
+    Lq = Lq_orig if Lq_orig <= QUERY_TILE else _round_up(Lq_orig, QUERY_TILE)
+    if Lq != Lq_orig:
+        X_q = jnp.pad(X_q, ((0, 0), (0, Lq - Lq_orig), (0, 0)))
+        mask_q = jnp.pad(mask_q, ((0, 0), (0, Lq - Lq_orig)))
+    Q = min(QUERY_TILE, Lq)
+
+    Xq = X_q.astype(jnp.float32)
+    Xk = jnp.swapaxes(X_k.astype(jnp.float32), 1, 2)   # [B,3,Lk]
+    mq = mask_q.astype(jnp.float32)[..., None]
+    mk = mask_k.astype(jnp.float32)[:, None, :]
+
+    grid = (B, Lq // Q)
+    kernel = functools.partial(_kernel, k=k, eps=eps)
+    D_neighbors, E_idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Q, 3), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Lk), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, 1), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Q, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lq, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(Xq, Xk, mq, mk)
+    return D_neighbors[:, :Lq_orig], E_idx[:, :Lq_orig]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def knn_graph_pallas(X_ref, mask, k=32, eps=1e-6, interpret=False):
     """Masked kNN: X_ref [B,L,3] reference coords, mask [B,L] ->
     (D_neighbors [B,L,k] ascending, E_idx [B,L,k] int32).

@@ -59,25 +59,61 @@ def _gather_global(nodes_global, E_idx):
 
 def _features_local(p, cfg: ModelConfig, lb):
     """Row-local featurization with globally-gathered neighbor data."""
+    from ..models.features import _use_pallas_kernels
+
     X = lb["X"].astype(jnp.float32)
     X_aug, X_m_aug, X_ref = build_augmented_atoms(X, lb["X_m"], lb, cfg)
     X_ref_g = _ag(X_ref)
     mask_g = _ag(lb["mask"])
-    _, E_idx = _knn_local_rows(X_ref, X_ref_g, lb["mask"], mask_g,
-                               cfg.k_neighbors)
+    use_pallas = _use_pallas_kernels(cfg)
+    if use_pallas:
+        from ..ops.knn import knn_graph_pallas_qk
+        _, E_idx = knn_graph_pallas_qk(X_ref, X_ref_g, lb["mask"], mask_g,
+                                       cfg.k_neighbors)
+    else:
+        _, E_idx = _knn_local_rows(X_ref, X_ref_g, lb["mask"], mask_g,
+                                   cfg.k_neighbors)
 
     X_aug_g = _ag(X_aug)
     X_m_aug_g = _ag(X_m_aug)
     # All-pair-atom RBF with local query rows and globally indexed neighbors:
     B, Ls, A, _ = X_aug.shape
     K = E_idx.shape[2]
-    Xg = _gather_global(X_aug_g.reshape(B, -1, A * 3), E_idx).reshape(B, Ls, K, A, 3)
-    d = X_aug[:, :, None, :, None, :] - Xg[:, :, :, None, :, :]
-    D = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-6)
-    RBF = rbf_embed(D, cfg.num_rbf)
-    Mg = _gather_global(X_m_aug_g, E_idx)
-    RBF = RBF * X_m_aug[:, :, None, :, None, None] * Mg[:, :, :, None, :, None]
-    RBF_all = RBF.reshape(B, Ls, K, A * A * cfg.num_rbf)
+    n_pos = cfg.num_positional_embeddings
+    W = p["edge_embedding"]["w"]
+    if use_pallas:
+        # Pallas fused RBF+projection on (local query, gathered global
+        # neighbor) coordinate planes.
+        from ..ops.rbf_edge import (EDGE_TILE, permute_rbf_weight,
+                                    _rbf_proj)
+        Xp_local = jnp.concatenate([X_aug[..., c] for c in range(3)], axis=-1)
+        Xp_global = jnp.concatenate([X_aug_g[..., c] for c in range(3)], axis=-1)
+        idx = E_idx.reshape(B, Ls * K)
+        Xj = jnp.take_along_axis(Xp_global, idx[..., None], axis=1)
+        Mj = jnp.take_along_axis(X_m_aug_g.astype(jnp.float32),
+                                 idx[..., None], axis=1)
+        Xi = jnp.repeat(Xp_local, K, axis=1)
+        Mi = jnp.repeat(X_m_aug.astype(jnp.float32), K, axis=1)
+        E_flat = B * Ls * K
+        Ep = -(-E_flat // EDGE_TILE) * EDGE_TILE
+
+        def pad(x):
+            x = x.reshape(E_flat, x.shape[-1])
+            return jnp.pad(x, ((0, Ep - E_flat), (0, 0))) if Ep != E_flat else x
+
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        sg = jax.lax.stop_gradient
+        E_rbf = _rbf_proj(sg(pad(Xi)), sg(pad(Xj)), sg(pad(Mi)), sg(pad(Mj)),
+                          permute_rbf_weight(W[n_pos:]).astype(jnp.float32),
+                          cdt, False)[:E_flat].reshape(B, Ls, K, -1)
+    else:
+        Xg = _gather_global(X_aug_g.reshape(B, -1, A * 3), E_idx).reshape(B, Ls, K, A, 3)
+        d = X_aug[:, :, None, :, None, :] - Xg[:, :, :, None, :, :]
+        D = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-6)
+        RBF = rbf_embed(D, cfg.num_rbf)
+        Mg = _gather_global(X_m_aug_g, E_idx)
+        RBF = RBF * X_m_aug[:, :, None, :, None, None] * Mg[:, :, :, None, :, None]
+        RBF_all = RBF.reshape(B, Ls, K, A * A * cfg.num_rbf)
 
     R_idx_g = _ag(lb["R_idx"].astype(jnp.int32))
     cl_g = _ag(lb["chain_labels"].astype(jnp.int32))
@@ -88,9 +124,9 @@ def _features_local(p, cfg: ModelConfig, lb):
     E_positional = positional_embed(p["positional"], offset, E_chains,
                                     cfg.max_relative_feature)
 
-    n_pos = cfg.num_positional_embeddings
-    W = p["edge_embedding"]["w"]
-    E = jnp.dot(E_positional, W[:n_pos]) + jnp.dot(RBF_all, W[n_pos:])
+    if not use_pallas:
+        E_rbf = jnp.dot(RBF_all, W[n_pos:])
+    E = jnp.dot(E_positional, W[:n_pos]) + E_rbf
     E = layer_norm(p["norm_edges"], E)
 
     V = jax.nn.one_hot(lb["R_polymer_type"], cfg.num_polytypes,
