@@ -65,8 +65,9 @@ def run_eternafold(sequence: str, eternafold_binary: str = "eternafold") -> Dict
     finally:
         os.unlink(fasta)
     lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
-    ss = lines[-1].strip()
-    return {"secondary_structure": standardize_secondary_structure(ss)}
+    ss = standardize_secondary_structure(lines[-1].strip())
+    return {"predicted_secondary_structure": ss,
+            "secondary_structure": ss}
 
 
 def run_us_align(reference_structure_path: str, subject_structure_path: str,
@@ -114,21 +115,311 @@ def run_alphafold3(name: str, sequence: str, output_directory: str,
                                     "--output_dir", output_directory],
                    check=True)
     model_dir = os.path.join(output_directory, name.lower())
-    return {"output_directory": model_dir,
-            "predicted_structure_path": os.path.join(model_dir, f"{name.lower()}_model.cif")}
+    result = {"output_directory": model_dir,
+              "predicted_structure_path": os.path.join(
+                  model_dir, f"{name.lower()}_model.cif")}
+    # Confidence summary (ptm / pae / plddt), when AF3 emitted it (reference
+    # run_alphafold3 output parse, evaluation/na_eval_utils.py:985-1025).
+    summary = os.path.join(model_dir, f"{name.lower()}_summary_confidences.json")
+    conf = os.path.join(model_dir, f"{name.lower()}_confidences.json")
+    try:
+        if os.path.exists(summary):
+            s = json.load(open(summary))
+            result["ptm"] = s.get("ptm")
+        if os.path.exists(conf):
+            c = json.load(open(conf))
+            if "pae" in c:
+                import numpy as np
+                result["pae"] = float(np.mean(c["pae"]))
+            if "atom_plddts" in c:
+                import numpy as np
+                result["plddt"] = float(np.mean(c["atom_plddts"]))
+    except (json.JSONDecodeError, OSError):
+        pass
+    return result
 
 
-def run_ribonanza_net(sequence: str, script: Optional[str] = None) -> Dict:
-    """Reactivity profile + secondary structure via RibonanzaNet (reference
-    run_ribonanza_net_*, evaluation/na_eval_utils.py:731-866 +
-    evaluation/run_ribonanza_net.py)."""
-    if script is None:
-        script = os.environ.get("RIBONANZA_NET_SCRIPT")
-    if not script or not os.path.exists(script):
+def _run_ribonanza_runner(mode: str, sequence: str, batch_size: int) -> Dict:
+    """Invoke the first-party runner (eval/ribonanza_runner.py — our
+    equivalent of the reference's shipped evaluation/run_ribonanza_net.py)
+    in a subprocess; requires the RIBONANZA_NET_* site config."""
+    if not os.environ.get("RIBONANZA_NET_DIR"):
         raise ExternalToolUnavailable(
-            "RibonanzaNet runner not configured (set RIBONANZA_NET_SCRIPT)")
+            "RibonanzaNet not configured (set RIBONANZA_NET_DIR + "
+            "RIBONANZA_NET_WEIGHTS / RIBONANZA_NET_SS_WEIGHTS)")
+    import sys
     with tempfile.TemporaryDirectory() as tmp:
-        out_json = os.path.join(tmp, "out.json")
-        subprocess.run(["python", script, "--sequence", sequence,
-                        "--output", out_json], check=True)
-        return json.load(open(out_json))
+        subprocess.run(
+            [sys.executable, "-m", "na_mpnn_tpu.eval.ribonanza_runner",
+             mode, sequence, tmp, str(batch_size)],
+            check=True)
+        import numpy as np
+        return np.load(os.path.join(tmp, "output.npy"),
+                       allow_pickle=True).item()
+
+
+def run_ribonanza_net_reactivity_profile(sequence: str,
+                                         batch_size: int = 1) -> Dict:
+    """Predicted 2A3/DMS reactivity profiles (reference
+    run_ribonanza_net_reactivity_profile, evaluation/na_eval_utils.py:731-799)."""
+    from .scoring import check_rna_sequence_validity
+    check_rna_sequence_validity(sequence, unknown_residue_allowed=False,
+                                chain_breaks_allowed=False)
+    out = _run_ribonanza_runner("reactivity_profile", sequence, batch_size)
+    return {
+        "predicted_2A3_reactivity_profiles":
+            out["predicted_2A3_reactivity_profiles"],
+        "predicted_DMS_reactivity_profiles":
+            out["predicted_DMS_reactivity_profiles"],
+    }
+
+
+def run_ribonanza_net_secondary_structure(sequence: str,
+                                          batch_size: int = 1) -> Dict:
+    """Predicted dot-bracket structures (reference
+    run_ribonanza_net_secondary_structure, evaluation/na_eval_utils.py:802-866)."""
+    from .scoring import check_rna_sequence_validity
+    check_rna_sequence_validity(sequence, unknown_residue_allowed=False,
+                                chain_breaks_allowed=False)
+    out = _run_ribonanza_runner("secondary_structure", sequence, batch_size)
+    return {"predicted_secondary_structures":
+            out["predicted_secondary_structures"]}
+
+
+# Back-compat single-call wrapper.
+def run_ribonanza_net(sequence: str) -> Dict:
+    return {**run_ribonanza_net_reactivity_profile(sequence),
+            **run_ribonanza_net_secondary_structure(sequence)}
+
+
+# ---------------------------------------------------------------------------
+# Specificity / design baselines (DeepPBS, gRNAde, RhoDesign)
+# ---------------------------------------------------------------------------
+
+def _tool_cmd(env_var: str, tool: str) -> List[str]:
+    """Site launcher prefix for a containerized tool, e.g.
+    DEEPPBS_CMD="apptainer exec /path/deeppbs.sif" (the reference hard-codes
+    its cluster's apptainer paths; here they are env-configured)."""
+    cmd = os.environ.get(env_var)
+    if not cmd:
+        raise ExternalToolUnavailable(
+            f"{tool} launcher not configured (set {env_var})")
+    return cmd.split()
+
+
+def deeppbs_output_to_result(npz_dict: Dict, structure_name: str,
+                             structure_path: str) -> Dict:
+    """Convert DeepPBS's raw prediction npz into the NA-MPNN specificity
+    result contract (reference run_deeppbs post-processing,
+    evaluation/na_eval_utils.py:1341-1401): append the reverse-complement
+    strand (both PPM and sequence flipped on both axes) as a second chain and
+    map the 4-letter PPM into the 33-column NA-MPNN format."""
+    import numpy as np
+    from .. import constants
+
+    ppm = np.asarray(npz_dict["P"], np.float64)              # [L, 4] ACGT
+    seq_onehot = np.asarray(npz_dict["Seq"])                 # [L, 4]
+    bp_ppm = np.flip(np.flip(ppm, axis=1), axis=0)
+    bp_seq = np.flip(np.flip(seq_onehot, axis=1), axis=0)
+    chain_labels = np.concatenate([
+        np.zeros(ppm.shape[0], np.int32), np.ones(bp_ppm.shape[0], np.int32)])
+    ppm = np.concatenate([ppm, bp_ppm], axis=0)
+    seq_onehot = np.concatenate([seq_onehot, bp_seq], axis=0)
+
+    t = constants.restype_to_int_table(True)
+    deep_pbs_cols = {"DA": 0, "DC": 1, "DG": 2, "DT": 3}
+    predicted = np.zeros((ppm.shape[0], constants.NUM_LETTERS), np.float64)
+    for res, col in deep_pbs_cols.items():
+        predicted[:, t[res]] = ppm[:, col]
+    int_to_res = {v: k for k, v in deep_pbs_cols.items()}
+    true_seq = [t[int_to_res[int(i)]] for i in np.argmax(seq_onehot, axis=-1)]
+
+    n = len(predicted)
+    return {
+        "input_structure_name": structure_name,
+        "input_structure_path": structure_path,
+        "name": structure_name,
+        "predicted_ppm_na_mpnn_format": predicted,
+        "true_sequence_na_mpnn_format": true_seq,
+        "chain_labels": chain_labels,
+        "mask": [1] * n,
+        "protein_mask": [0] * n,
+        "dna_mask": [1] * n,
+        "rna_mask": [0] * n,
+        "encoded_residues": None,
+        "encoded_residues_dict": None,
+        "specificity_method": "deeppbs",
+        "model_weights_path": None,
+        "num_samples": 1,
+        "temperature": None,
+    }
+
+
+def run_deeppbs(structure_path: str, output_directory: Optional[str] = None) -> Dict:
+    """Protein-DNA specificity via DeepPBS (reference run_deeppbs,
+    evaluation/na_eval_utils.py:1202-1413). Site config: DEEPPBS_CMD (launcher
+    prefix) + DEEPPBS_DIR (DeepPBS checkout)."""
+    import numpy as np
+
+    structure_path = os.path.abspath(structure_path)
+    if not os.path.exists(structure_path):
+        raise ValueError(f"Invalid structure path: {structure_path}")
+    launcher = _tool_cmd("DEEPPBS_CMD", "DeepPBS")
+    deeppbs_dir = os.environ.get("DEEPPBS_DIR", "")
+    structure_name, ext = os.path.splitext(os.path.basename(structure_path))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pdb_dir = os.path.join(tmp, "pdb")
+        os.makedirs(pdb_dir)
+        shutil.copy(structure_path, pdb_dir)
+        input_txt = os.path.join(tmp, "input.txt")
+        open(input_txt, "w").write(f"{structure_name}{ext}")
+        os.makedirs(os.path.join(tmp, "npz"))
+        predict_txt = os.path.join(tmp, "predict_input.txt")
+        open(predict_txt, "w").write(f"{structure_name}.npz")
+        out_dir = os.path.join(tmp, "output")
+        os.makedirs(out_dir)
+        subprocess.run(
+            launcher + ["python",
+                        os.path.join(deeppbs_dir, "run", "process_co_crystal.py"),
+                        input_txt,
+                        os.path.join(deeppbs_dir, "run", "process",
+                                     "process_config.json"),
+                        "--no_pwm"],
+            check=True, cwd=tmp)
+        subprocess.run(
+            launcher + ["python", os.path.join(deeppbs_dir, "run", "predict.py"),
+                        predict_txt, out_dir, "-c",
+                        os.path.join(deeppbs_dir, "run", "process",
+                                     "pred_configs", "pred_config_deeppbs.json")],
+            check=True, cwd=tmp)
+        out_npz = os.path.join(out_dir, "npzs",
+                               f"{structure_name}.npz_predict.npz")
+        if not os.path.exists(out_npz):
+            raise ValueError(f"Output file not found: {out_npz}")
+        raw = dict(np.load(out_npz, allow_pickle=True))
+        if output_directory:
+            spec_dir = os.path.join(output_directory, "specificity")
+            os.makedirs(spec_dir, exist_ok=True)
+            shutil.copy(out_npz, os.path.join(spec_dir, f"{structure_name}.npz"))
+    return deeppbs_output_to_result(raw, structure_name, structure_path)
+
+
+def parse_grnade_fasta(fasta_entries, structure_name: str,
+                       structure_path: str) -> List[Dict]:
+    """gRNAde FASTA -> design dicts (reference run_grnade parse,
+    evaluation/na_eval_utils.py:2650-2695). Entry 0 is the native sequence."""
+    design_data = []
+    for header, seq in fasta_entries[1:]:
+        meta = {}
+        for item in header.strip().split(", "):
+            if "=" in item:
+                k, v = item.strip().split("=", 1)
+                meta[k] = v
+        design_data.append({
+            "input_structure_name": structure_name,
+            "input_structure_path": structure_path,
+            "design_id": meta["sample"],
+            "name": f"{structure_name}_{meta['sample']}",
+            "design_sequence": seq.replace("\n", ""),
+            "tool_reported_sequence_recovery": float(meta["recovery"]),
+            "design_method": "grnade",
+            "model_weights_path": "",
+        })
+    return design_data
+
+
+def run_grnade(structure_path: str, output_directory: Optional[str] = None,
+               n_samples: int = 1, temperature: float = 0.1) -> List[Dict]:
+    """RNA design via gRNAde (reference run_grnade,
+    evaluation/na_eval_utils.py:2511-2637). Site config: GRNADE_CMD +
+    GRNADE_SCRIPT (path to gRNAde.py)."""
+    structure_path = os.path.abspath(structure_path)
+    if not os.path.exists(structure_path):
+        raise ValueError(f"Structure file not found: {structure_path}")
+    launcher = _tool_cmd("GRNADE_CMD", "gRNAde")
+    script = os.environ.get("GRNADE_SCRIPT", "gRNAde.py")
+    structure_name = os.path.splitext(os.path.basename(structure_path))[0]
+
+    tmp_ctx = tempfile.TemporaryDirectory() if output_directory is None else None
+    out_dir = tmp_ctx.name if tmp_ctx else os.path.abspath(output_directory)
+    try:
+        seqs_dir = os.path.join(out_dir, "seqs")
+        os.makedirs(seqs_dir, exist_ok=True)
+        fasta_path = os.path.join(seqs_dir, f"{structure_name}.fa")
+        subprocess.run(
+            launcher + ["python", script,
+                        "--pdb_filepath", structure_path,
+                        "--output_filepath", fasta_path,
+                        "--split", "das", "--max_num_conformers", "1",
+                        "--n_samples", str(n_samples),
+                        "--temperature", str(temperature)],
+            check=True)
+        if not os.path.exists(fasta_path):
+            raise ValueError(f"Output fasta file not found: {fasta_path}")
+        from .harness import read_fasta_file
+        return parse_grnade_fasta(read_fasta_file(fasta_path), structure_name,
+                                  structure_path)
+    finally:
+        if tmp_ctx:
+            tmp_ctx.cleanup()
+
+
+def parse_rhodesign_output(output_text: str):
+    """Extract (sequence, recovery) from RhoDesign stdout (reference
+    run_rhodesign parse, evaluation/na_eval_utils.py:2745-2753)."""
+    sequence, recovery = None, None
+    for line in output_text.split("\n"):
+        if line.startswith("sequence: "):
+            sequence = line.split(": ", 1)[1].strip()
+        elif line.startswith("recovery rate: "):
+            recovery = line.split(": ", 1)[1].strip()
+    if sequence is None or recovery is None:
+        raise ValueError("could not parse RhoDesign output")
+    return sequence, float(recovery)
+
+
+def run_rhodesign(structure_path: str, output_directory: Optional[str] = None,
+                  n_samples: int = 1, temperature: float = 0.1) -> List[Dict]:
+    """RNA design via RhoDesign (reference run_rhodesign,
+    evaluation/na_eval_utils.py:2642-2786): one subprocess per sample, parse
+    stdout, aggregate a FASTA. Site config: RHODESIGN_CMD + RHODESIGN_SCRIPT."""
+    structure_path = os.path.abspath(structure_path)
+    if not os.path.exists(structure_path):
+        raise ValueError(f"Structure file not found: {structure_path}")
+    launcher = _tool_cmd("RHODESIGN_CMD", "RhoDesign")
+    script = os.environ.get("RHODESIGN_SCRIPT", "inference_without2d.py")
+    structure_name = os.path.splitext(os.path.basename(structure_path))[0]
+
+    tmp_ctx = tempfile.TemporaryDirectory() if output_directory is None else None
+    out_dir = tmp_ctx.name if tmp_ctx else os.path.abspath(output_directory)
+    try:
+        seqs_dir = os.path.join(out_dir, "seqs")
+        os.makedirs(seqs_dir, exist_ok=True)
+        fasta_entries, design_data = [], []
+        for i in range(n_samples):
+            with tempfile.TemporaryDirectory() as sample_dir:
+                proc = subprocess.run(
+                    launcher + ["python", script, "-pdb", structure_path,
+                                "-save", sample_dir, "-temp", str(temperature)],
+                    check=True, capture_output=True, text=True)
+            sequence, recovery = parse_rhodesign_output(proc.stdout)
+            fasta_entries.append(
+                (f"{structure_name}, id={i}, seq_rec={recovery}", sequence))
+            design_data.append({
+                "input_structure_name": structure_name,
+                "input_structure_path": structure_path,
+                "design_id": str(i),
+                "name": f"{structure_name}_{i}",
+                "design_sequence": sequence,
+                "tool_reported_sequence_recovery": recovery,
+                "design_method": "rhodesign",
+                "model_weights_path": "",
+            })
+        from .harness import write_fasta_file
+        write_fasta_file(os.path.join(seqs_dir, f"{structure_name}.fa"),
+                         fasta_entries)
+        return design_data
+    finally:
+        if tmp_ctx:
+            tmp_ctx.cleanup()

@@ -226,7 +226,8 @@ def design_nucleic_acid_sequence(structure_path, overall_output_directory,
                                  num_samples, temperature, method="na_mpnn",
                                  na_mpnn_model_path=None, seed=0):
     """Per-structure design pipeline (reference design_nucleic_acid_sequence,
-    evaluation/na_eval_utils.py:2787-2910)."""
+    evaluation/na_eval_utils.py:2787-2910). Methods: na_mpnn (native),
+    grnade / rhodesign (site-configured external tools)."""
     structure_path = os.path.abspath(structure_path)
     if temperature is None:
         temperature = 0.1
@@ -239,18 +240,113 @@ def design_nucleic_acid_sequence(structure_path, overall_output_directory,
     design_json_dir = os.path.join(output_directory, "design_json")
     os.makedirs(design_json_dir)
 
-    if method != "na_mpnn":
-        raise ValueError(
-            f"Sequence design method {method} requires its external tool; "
-            f"only na_mpnn runs natively.")
-    design_data = run_na_mpnn_sequence(
-        structure_path, output_directory=output_directory,
-        batch_size=num_samples, number_of_batches=1, temperature=temperature,
-        na_mpnn_model_path=na_mpnn_model_path, seed=seed)
+    if method == "na_mpnn":
+        design_data = run_na_mpnn_sequence(
+            structure_path, output_directory=output_directory,
+            batch_size=num_samples, number_of_batches=1,
+            temperature=temperature, na_mpnn_model_path=na_mpnn_model_path,
+            seed=seed)
+    elif method == "grnade":
+        from .external import run_grnade
+        design_data = run_grnade(structure_path, output_directory,
+                                 n_samples=num_samples,
+                                 temperature=temperature)
+    elif method == "rhodesign":
+        from .external import run_rhodesign
+        design_data = run_rhodesign(structure_path, output_directory,
+                                    n_samples=num_samples,
+                                    temperature=temperature)
+    else:
+        raise ValueError(f"Invalid sequence design method: {method}")
     for d in design_data:
         d["original_input_structure_path"] = original
         write_json_file(os.path.join(design_json_dir, f"{d['name']}.json"), d)
     return design_data
+
+
+def process_reference_monomer_rna(reference_structure_path,
+                                  overall_output_directory):
+    """Extract the reference RNA monomer's sequence + secondary structure
+    with DSSR into <out>/<name>/reference_json/<name>.json (reference
+    process_reference_monomer_rna, evaluation/na_eval_utils.py:2912-3004)."""
+    from .external import run_dssr
+
+    reference_structure_path = os.path.abspath(reference_structure_path)
+    if not os.path.exists(reference_structure_path):
+        raise ValueError(
+            f"Reference structure file not found: {reference_structure_path}")
+    structure_name, _ = _structure_name(reference_structure_path)
+    output_directory = _fresh_output_dir(overall_output_directory, structure_name)
+    original = reference_structure_path
+    reference_structure_path = _copy_structure(reference_structure_path,
+                                               output_directory)
+    ref_json_dir = os.path.join(output_directory, "reference_json")
+    os.makedirs(ref_json_dir)
+
+    dssr_output = run_dssr(reference_structure_path)
+    dssr_output["sequence"] = scoring.standardize_rna_sequence(
+        dssr_output["sequence"], method="dssr")
+    scoring.check_rna_sequence_validity(dssr_output["sequence"],
+                                        unknown_residue_allowed=True,
+                                        chain_breaks_allowed=False)
+    dssr_output["secondary_structure"] = scoring.standardize_secondary_structure(
+        dssr_output["secondary_structure"], method="dssr")
+    dssr_output.pop("raw", None)
+    dssr_output.pop("stdout", None)
+
+    output_dict = {
+        "name": structure_name,
+        "original_reference_structure_path": original,
+        "reference_structure_path": reference_structure_path,
+        "dssr": dssr_output,
+    }
+    out_path = os.path.join(ref_json_dir, f"{structure_name}.json")
+    write_json_file(out_path, output_dict)
+    return out_path
+
+
+def process_design_monomer_rna(subject_path, overall_output_directory,
+                               num_af3_diffusion_samples=5):
+    """Process one design JSON: EternaFold 2°, RibonanzaNet 2° + reactivity,
+    AlphaFold3 fold, into <out>/<name>/processed_design_json/<name>.json
+    (reference process_design_monomer_rna,
+    evaluation/na_eval_utils.py:3006-3101)."""
+    from . import external
+
+    subject_path = os.path.abspath(subject_path)
+    if not os.path.exists(subject_path):
+        raise ValueError(f"Design fasta file not found: {subject_path}")
+    design_json = read_json_file(subject_path)
+    design_name = design_json["name"]
+    output_directory = _fresh_output_dir(overall_output_directory, design_name)
+    processed_dir = os.path.join(output_directory, "processed_design_json")
+    os.makedirs(processed_dir)
+
+    design_sequence = scoring.standardize_rna_sequence(
+        design_json["design_sequence"], method=design_json["design_method"])
+    scoring.check_rna_sequence_validity(design_sequence,
+                                        unknown_residue_allowed=False,
+                                        chain_breaks_allowed=False)
+
+    eternafold_result = external.run_eternafold(design_sequence)
+    rnn_ss = external.run_ribonanza_net_secondary_structure(design_sequence)
+    rnn_react = external.run_ribonanza_net_reactivity_profile(design_sequence)
+    af3_result = external.run_alphafold3(
+        name=design_name, sequence=design_sequence,
+        output_directory=output_directory)
+
+    output_dict = {
+        "name": design_name,
+        "sequence": design_sequence,
+        "design_input_path": subject_path,
+        "eternafold": eternafold_result,
+        "ribonanza_net_secondary_structure": rnn_ss,
+        "ribonanza_net_reactivity_profile": rnn_react,
+        "alphafold3": af3_result,
+    }
+    out_path = os.path.join(processed_dir, f"{design_name}.json")
+    write_json_file(out_path, output_dict)
+    return out_path
 
 
 def predict_nucleic_acid_ppm(structure_path, overall_output_directory,
@@ -266,11 +362,21 @@ def predict_nucleic_acid_ppm(structure_path, overall_output_directory,
     original = structure_path
     structure_path = _copy_structure(structure_path, output_directory)
 
-    spec = run_na_mpnn_specificity(
-        structure_path, output_directory=output_directory,
-        batch_size=num_samples, number_of_batches=num_batches,
-        temperature=temperature, na_mpnn_model_path=na_mpnn_model_path,
-        seed=seed)
+    if method == "na_mpnn":
+        spec = run_na_mpnn_specificity(
+            structure_path, output_directory=output_directory,
+            batch_size=num_samples, number_of_batches=num_batches,
+            temperature=temperature, na_mpnn_model_path=na_mpnn_model_path,
+            seed=seed)
+    elif method == "deeppbs":
+        from .external import run_deeppbs
+        spec = run_deeppbs(structure_path, output_directory)
+        spec = {k: np.asarray(v) if isinstance(v, list) else v
+                for k, v in spec.items()}
+        spec["predicted_ppm"] = spec.pop("predicted_ppm_na_mpnn_format")
+        spec["true_sequence"] = spec.pop("true_sequence_na_mpnn_format")
+    else:
+        raise ValueError(f"Invalid specificity prediction method: {method}")
 
     subject = {
         "name": structure_name,
@@ -333,33 +439,126 @@ def score_specificity_prediction(reference_ppms_list_str, subject_path,
 def score_design_monomer_rna(reference_path, subject_path,
                              overall_output_directory):
     """Score one RNA-monomer design against its processed reference
-    (reference score_design_monomer_rna, evaluation/na_eval_utils.py:3103-3340).
-    External-tool stages (AF3 fold comparison) run only when their outputs
-    are present in the processed JSONs."""
+    (reference score_design_monomer_rna, evaluation/na_eval_utils.py:3103-3340):
+    sequence recovery vs DSSR, 2° F1s vs EternaFold + RibonanzaNet, OpenKnot
+    reactivity scores, and C1' RMSD/lDDT/GDT vs the AlphaFold3 model. Stages
+    whose inputs are absent from the processed JSONs are skipped (recorded as
+    null) so partial protocols still score."""
+    from .superimpose import (kabsch_superimpose, load_atom_coords, lddt,
+                              rmsd, superimposed_rmsd)
+
+    reference_path = os.path.abspath(reference_path)
+    subject_path = os.path.abspath(subject_path)
     reference = read_json_file(reference_path)
     subject = read_json_file(subject_path)
     output_directory = _fresh_output_dir(overall_output_directory, subject["name"])
 
-    result = {"name": subject["name"], "reference_path": reference_path,
-              "subject_path": subject_path}
-    if "sequence" in reference and "design_sequence" in subject:
-        seq = scoring.standardize_rna_sequence(
-            subject["design_sequence"], method="na_mpnn", remove_chain_breaks=True)
-        result["sequence_recovery"] = scoring.calculate_sequence_recovery(
-            reference["sequence"], seq,
-            unknown_residue_allowed_in_reference=True)["sequence_recovery"]
-    if "secondary_structure" in reference and "secondary_structure" in subject:
-        result.update(scoring.calculate_secondary_structure_stats(
-            reference["secondary_structure"], subject["secondary_structure"]))
-    if "reactivity_profile" in subject and "secondary_structure" in reference:
-        result.update(scoring.calculate_reactivity_profile_score(
-            reference["secondary_structure"],
-            np.asarray(subject["reactivity_profile"])))
-    if "c1_prime_coords" in reference and "c1_prime_coords" in subject:
-        from .superimpose import structure_comparison_metrics
-        result.update(structure_comparison_metrics(
-            np.asarray(reference["c1_prime_coords"]),
-            np.asarray(subject["c1_prime_coords"])))
+    ref_seq_len = len(reference["dssr"]["sequence"])
+    subject_len = len(subject["sequence"])
+    result = {
+        "reference_name": reference["name"],
+        "reference_path": reference_path,
+        "reference_sequence_length": ref_seq_len,
+        "subject_name": subject["name"],
+        "subject_path": subject_path,
+        "subject_sequence_length": subject_len,
+        "best_start_idx": None,
+        "best_end_idx": None,
+    }
+
+    # C1' coordinate arrays for the structural comparison.
+    ref_c1 = sub_c1 = None
+    af3 = subject.get("alphafold3") or {}
+    if af3.get("predicted_structure_path") and os.path.exists(
+            af3["predicted_structure_path"]) and os.path.exists(
+            reference.get("reference_structure_path", "")):
+        ref_c1 = load_atom_coords(reference["reference_structure_path"], "C1'")
+        sub_c1 = load_atom_coords(af3["predicted_structure_path"], "C1'")
+
+    # Shorter subject: find the best-RMSD reference window, trim sequence,
+    # secondary structure (pairs out of the window become loops), and coords.
+    if subject_len < ref_seq_len:
+        best = (None, None)
+        if ref_c1 is not None and sub_c1 is not None:
+            for start in range(ref_seq_len - subject_len + 1):
+                window = ref_c1[start:start + subject_len]
+                r = superimposed_rmsd(window, sub_c1)
+                if best[0] is None or r < best[0]:
+                    best = (r, start)
+        else:
+            best = (None, 0)
+        start = best[1]
+        end = start + subject_len
+        result["best_start_idx"] = start
+        result["best_end_idx"] = end
+        ss = reference["dssr"]["secondary_structure"]
+        pairs, _ = scoring.base_pairs_and_loops(ss)
+        ss = list(ss)
+        for i, j in pairs:
+            if i < start or j < start or i >= end or j >= end:
+                ss[i] = "."
+                ss[j] = "."
+        reference["dssr"]["secondary_structure"] = "".join(ss[start:end])
+        reference["dssr"]["sequence"] = reference["dssr"]["sequence"][start:end]
+        if ref_c1 is not None:
+            ref_c1 = ref_c1[start:end]
+    elif subject_len > ref_seq_len:
+        raise ValueError("Subject sequence is longer than reference sequence.")
+
+    result["sequence_recovery"] = scoring.calculate_sequence_recovery(
+        reference["dssr"]["sequence"], subject["sequence"],
+        unknown_residue_allowed_in_reference=True)["sequence_recovery"]
+
+    ref_ss = reference["dssr"]["secondary_structure"]
+    if subject.get("eternafold"):
+        ef = scoring.calculate_secondary_structure_stats(
+            ref_ss, subject["eternafold"]["predicted_secondary_structure"])
+        result["eternafold_f1_score_pairs"] = ef["f1_score_pairs"]
+        result["eternafold_f1_score_loops"] = ef["f1_score_loops"]
+
+    def _mean_over(pred_list, fn):
+        acc = {}
+        for pred in pred_list:
+            for k, v in fn(pred).items():
+                acc.setdefault(k, []).append(v)
+        return {k: float(np.mean(v)) for k, v in acc.items()}
+
+    if subject.get("ribonanza_net_secondary_structure"):
+        m = _mean_over(
+            subject["ribonanza_net_secondary_structure"][
+                "predicted_secondary_structures"],
+            lambda ss: scoring.calculate_secondary_structure_stats(ref_ss, ss))
+        result["ribonanza_net_f1_score_pairs"] = m["f1_score_pairs"]
+        result["ribonanza_net_f1_score_loops"] = m["f1_score_loops"]
+
+    if subject.get("ribonanza_net_reactivity_profile"):
+        m = _mean_over(
+            subject["ribonanza_net_reactivity_profile"][
+                "predicted_2A3_reactivity_profiles"],
+            lambda prof: scoring.calculate_reactivity_profile_score(
+                ref_ss, np.asarray(prof)))
+        result["ribonanza_net_eternafold_class_score"] = m["eternafold_class_score"]
+        result["ribonanza_net_crossed_pair_quality_score"] = m[
+            "crossed_pair_quality_score"]
+        result["ribonanza_net_openknot_score"] = m["openknot_score"]
+
+    if ref_c1 is not None and sub_c1 is not None:
+        if ref_c1.shape[0] != sub_c1.shape[0]:
+            raise ValueError("Reference and subject structures must contain "
+                             "the same number of C1' atoms.")
+        sup, _ = kabsch_superimpose(ref_c1, sub_c1)
+        result["alphafold3_c1_prime_rmsd"] = rmsd(ref_c1, sup)
+        result["alphafold3_c1_prime_lddt"] = lddt(ref_c1, sub_c1)
+        # The reference computes its "gddt" as superposition-free lDDT with
+        # an unbounded inclusion radius and GDT bins
+        # (evaluation/na_eval_utils.py:3312-3318).
+        result["alphafold3_c1_prime_gddt"] = lddt(
+            ref_c1, sub_c1, inclusion_radius=10000.0,
+            thresholds=(1.0, 2.0, 4.0, 8.0))
+    for key in ("ptm", "pae", "plddt"):
+        if key in af3:
+            result[f"alphafold3_{key}"] = af3[key]
+
     out_path = os.path.join(output_directory, f"{subject['name']}.json")
     write_json_file(out_path, result)
     return out_path
@@ -371,9 +570,11 @@ def score_design_monomer_rna(reference_path, subject_path,
 
 FUNCTIONS = {
     "design_nucleic_acid_sequence": design_nucleic_acid_sequence,
+    "process_reference_monomer_rna": process_reference_monomer_rna,
+    "process_design_monomer_rna": process_design_monomer_rna,
+    "score_design_monomer_rna": score_design_monomer_rna,
     "predict_nucleic_acid_ppm": predict_nucleic_acid_ppm,
     "score_specificity_prediction": score_specificity_prediction,
-    "score_design_monomer_rna": score_design_monomer_rna,
 }
 
 
@@ -381,6 +582,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--function_name", required=True, choices=sorted(FUNCTIONS))
     p.add_argument("--structure_path")
+    p.add_argument("--reference_structure_path")
     p.add_argument("--overall_output_directory")
     p.add_argument("--num_samples", type=int, default=10)
     p.add_argument("--num_batches", type=int, default=1)
@@ -398,15 +600,19 @@ def main(argv=None):
         fn(args.structure_path, args.overall_output_directory,
            args.num_samples, args.temperature, args.method,
            args.na_mpnn_model_path, args.seed)
+    elif args.function_name == "process_reference_monomer_rna":
+        fn(args.reference_structure_path, args.overall_output_directory)
+    elif args.function_name == "process_design_monomer_rna":
+        fn(args.subject_path, args.overall_output_directory)
+    elif args.function_name == "score_design_monomer_rna":
+        fn(args.reference_path, args.subject_path,
+           args.overall_output_directory)
     elif args.function_name == "predict_nucleic_acid_ppm":
         fn(args.structure_path, args.overall_output_directory,
            args.num_samples, args.temperature, args.num_batches, args.method,
            args.na_mpnn_model_path, args.seed)
     elif args.function_name == "score_specificity_prediction":
         fn(args.reference_ppms_list_str, args.subject_path,
-           args.overall_output_directory)
-    elif args.function_name == "score_design_monomer_rna":
-        fn(args.reference_path, args.subject_path,
            args.overall_output_directory)
 
 

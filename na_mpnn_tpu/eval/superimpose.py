@@ -66,6 +66,50 @@ def gdt(reference: np.ndarray, subject: np.ndarray,
     return float(np.mean([(d < t).mean() for t in thresholds]))
 
 
+def load_atom_coords(structure_path: str, atom_name: str = "C1'") -> np.ndarray:
+    """All coordinates of `atom_name` from a PDB or mmCIF file, in file
+    order ([N,3]). Minimal text parse standing in for
+    biotite.structure.io.load_structure (reference
+    evaluation/na_eval_utils.py:3152-3157)."""
+    import gzip
+    opener = gzip.open if structure_path.endswith(".gz") else open
+    path = structure_path
+    is_cif = path.endswith(".cif") or path.endswith(".cif.gz")
+    coords = []
+    with opener(path, "rt") as f:
+        if is_cif:
+            header: list = []
+            in_loop = False
+            idx = {}
+            for line in f:
+                s = line.strip()
+                if s.startswith("_atom_site."):
+                    header.append(s.split(".", 1)[1])
+                    in_loop = True
+                    idx = {name: i for i, name in enumerate(header)}
+                    continue
+                if in_loop:
+                    if s.startswith(("_", "loop_", "#")) or not s:
+                        in_loop = False
+                        header = []
+                        continue
+                    parts = s.split()
+                    if len(parts) < len(idx):
+                        continue
+                    nm = parts[idx.get("label_atom_id", 3)].strip('"')
+                    if nm == atom_name:
+                        coords.append([float(parts[idx["Cartn_x"]]),
+                                       float(parts[idx["Cartn_y"]]),
+                                       float(parts[idx["Cartn_z"]])])
+        else:
+            for line in f:
+                if line.startswith(("ATOM", "HETATM")):
+                    if line[12:16].strip() == atom_name:
+                        coords.append([float(line[30:38]), float(line[38:46]),
+                                       float(line[46:54])])
+    return np.asarray(coords, np.float64).reshape(-1, 3)
+
+
 def structure_comparison_metrics(reference_coords: np.ndarray,
                                  subject_coords: np.ndarray) -> Dict:
     """The C1' metrics reported by the design-scoring pipeline (reference
