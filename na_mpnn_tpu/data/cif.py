@@ -175,18 +175,19 @@ def read_cif(path: str) -> Dict[str, CifTable]:
 # ---------------------------------------------------------------------------
 
 def parse_operation_expression(expression: str) -> List[str]:
-    """'1-4' / '1,2,5' -> individual operation ids
-    (reference cifutils.py:296-313)."""
-    expression = expression.strip("() ")
-    operations = []
-    for e in expression.split(","):
-        e = e.strip()
-        pos = e.find("-")
-        if pos > 0:
-            operations.extend(str(k) for k in range(int(e[:pos]), int(e[pos + 1:]) + 1))
-        else:
-            operations.append(e)
-    return operations
+    """Expand one oper_expression group — '1-4' / '1,2,5' / 'P,X0' — into the
+    list of operation ids (semantics of reference cifutils.py:296-313;
+    ranges are numeric, other tokens are literal ids)."""
+    out: List[str] = []
+    for token in expression.strip("() ").split(","):
+        token = token.strip()
+        m = re.fullmatch(r"(\d+)-(\d+)", token)
+        if m:
+            lo, hi = int(m.group(1)), int(m.group(2))
+            out += [str(v) for v in range(lo, hi + 1)]
+        elif token:
+            out.append(token)
+    return out
 
 
 def parse_assemblies(tables: Dict[str, CifTable]) -> Dict[str, List]:
@@ -213,12 +214,12 @@ def parse_assemblies(tables: Dict[str, CifTable]) -> Dict[str, List]:
         groups = [parse_operation_expression(e)
                   for e in re.split(r"\(|\)", expr) if e]
         chains = gen.get(k, "asym_id_list").split(",")
-        if len(groups) == 1:
-            xforms = [opers[o] for o in groups[0]]
-        elif len(groups) == 2:
-            xforms = [opers[o1] @ opers[o2] for o1 in groups[0] for o2 in groups[1]]
-        else:
-            return out
+        # Composite operator product over every group: '(X0)(1-60)' etc.
+        # The reference handles <=2 groups (cifutils.py:345-362); arbitrary
+        # depth is the same left-to-right matrix product.
+        xforms = [np.eye(4)]
+        for group in groups:
+            xforms = [x @ opers[o] for x in xforms for o in group]
         out.setdefault(aid, []).extend(itertools.product(chains, xforms))
     return out
 
@@ -236,10 +237,34 @@ class CIFParser:
         "polydeoxyribonucleotide/polyribonucleotide hybrid",
     }
 
-    def __init__(self, skip_res=(), randomize_nmr_model=False, rng=None):
+    def __init__(self, skip_res=(), randomize_nmr_model=False, rng=None,
+                 residue_library=None):
         self.skip_res = set(skip_res)
         self.randomize_nmr_model = randomize_nmr_model
         self._rng = rng  # None -> np.random (kept picklable for loader workers)
+        # Optional ligands.ResidueLibrary giving chem_comp-level detail
+        # (bonds, automorphisms, leaving groups) for non-polymer residues
+        # (role of the reference's ligands.json.gz library, cifutils.py:126-160).
+        self.library = residue_library
+
+    def ligand_residues(self, chains) -> Dict:
+        """{(chain_id, seq_num, res_name): LigandResidue} for every
+        non-polymer residue with a library entry."""
+        if self.library is None:
+            return {}
+        out = {}
+        for chid, chain in chains.items():
+            if chain.type != "nonpoly":
+                continue
+            seen = set()
+            for (cid, num, res_name, _atom) in chain.atoms:
+                if (num, res_name) in seen:
+                    continue
+                seen.add((num, res_name))
+                entry = self.library.get(res_name)
+                if entry is not None:
+                    out[(chid, num, res_name)] = entry
+        return out
 
     @property
     def rng(self):
