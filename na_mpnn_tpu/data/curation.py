@@ -210,6 +210,132 @@ def train_valid_test_split(df, chain_cluster_to_degree,
     return df
 
 
+# ---------------------------------------------------------------------------
+# Protein family labeling (reference data/family_label_and_cluster.ipynb +
+# data/family_label.sh: gather protein chain sequences, shard into FASTAs,
+# InterProScan each shard against Pfam, recombine with the sequence mapping)
+# ---------------------------------------------------------------------------
+
+INTERPROSCAN_COLUMNS = [
+    "protein_accession", "sequence_md5", "sequence_length", "analysis",
+    "signature_accession", "signature_description", "start_location",
+    "stop_location", "score", "status", "date", "interpro_accession",
+    "interpro_description", "go_annotations", "pathway_annotations",
+]
+
+NA_CHAIN_TYPES = ("polydeoxyribonucleotide/polyribonucleotide hybrid",
+                  "polydeoxyribonucleotide", "polyribonucleotide")
+
+
+def gather_chain_sequences(preprocessing_csvs: Sequence[str],
+                           chain_types: Sequence[str]) -> list:
+    """Unique chain sequences of the given types across the datasets'
+    per-structure sequences CSVs (notebook 'Gather All Protein Sequences')."""
+    import pandas as pd
+
+    out = set()
+    for csv in preprocessing_csvs:
+        df = pd.read_csv(csv)
+        for sequences_path in df["sequences_path"]:
+            sdf = pd.read_csv(sequences_path)
+            for ctype, seq in zip(sdf["chain_type"], sdf["sequence"]):
+                if ctype in chain_types and isinstance(seq, str):
+                    out.add(seq)
+    return sorted(out)
+
+
+def standardize_na_sequence(sequence: str) -> str:
+    """U->T; anything outside ACGT -> X (notebook standardize_na_sequence) —
+    the representation CD-HIT-EST clusters on."""
+    table = {"A": "A", "C": "C", "G": "G", "T": "T", "U": "T"}
+    return "".join(table.get(c, "X") for c in sequence)
+
+
+def write_family_label_inputs(sequences: Sequence[str], out_dir: str,
+                              num_jobs: int = 1000) -> str:
+    """all_protein_sequences.fa (ids = enumerate index) + fasta_splits/ shard
+    FASTAs for the array jobs. Returns the combined fasta path."""
+    os.makedirs(out_dir, exist_ok=True)
+    splits_dir = os.path.join(out_dir, "fasta_splits")
+    os.makedirs(splits_dir, exist_ok=True)
+    pairs = list(enumerate(sequences))
+    fasta_path = os.path.join(out_dir, "all_protein_sequences.fa")
+    with open(fasta_path, "w") as f:
+        f.write("\n".join(f">{i}\n{s}" for i, s in pairs))
+    per_job = (len(pairs) + num_jobs - 1) // max(num_jobs, 1)
+    for job in range(num_jobs):
+        chunk = pairs[job * per_job:(job + 1) * per_job]
+        with open(os.path.join(splits_dir,
+                               f"all_protein_sequences_{job}.fa"), "w") as f:
+            f.write("\n".join(f">{i}\n{s}" for i, s in chunk))
+    return fasta_path
+
+
+def run_interproscan(fasta_path: str, output_path: str,
+                     applications: str = "Pfam"):
+    """One InterProScan shard (reference family_label.sh). Site config:
+    INTERPROSCAN_CMD (launcher, e.g. '/path/interproscan.sh')."""
+    cmd = os.environ.get("INTERPROSCAN_CMD")
+    if not cmd:
+        raise RuntimeError("InterProScan not configured (set INTERPROSCAN_CMD)")
+    subprocess.run(cmd.split() + ["-i", fasta_path, "-f", "tsv",
+                                  "-o", output_path, "-appl", applications],
+                   check=True)
+
+
+def combine_family_labels(label_output_dir: str,
+                          all_sequences_fasta: str) -> "pandas.DataFrame":
+    """Concatenate the per-shard InterProScan TSVs, map the temporary integer
+    accessions back to sequences, and drop the accession column (notebook
+    'Run InterScanPro and Process Results')."""
+    import pandas as pd
+
+    dfs = []
+    for name in sorted(os.listdir(label_output_dir)):
+        path = os.path.join(label_output_dir, name)
+        if not os.path.isfile(path) or os.path.getsize(path) == 0:
+            continue
+        dfs.append(pd.read_csv(path, names=INTERPROSCAN_COLUMNS, sep="\t"))
+    if not dfs:
+        return pd.DataFrame(columns=INTERPROSCAN_COLUMNS[1:] + ["sequence"])
+    df = pd.concat(dfs, ignore_index=True)
+    df = df.sort_values(by="protein_accession", ignore_index=True)
+
+    id_to_seq = {}
+    header = None
+    for line in open(all_sequences_fasta):
+        line = line.strip()
+        if line.startswith(">"):
+            header = line[1:]
+        elif line and header is not None:
+            id_to_seq[header] = line
+    df["sequence"] = df["protein_accession"].astype(str).map(id_to_seq)
+    return df.drop(columns=["protein_accession"])
+
+
+def family_label_pipeline(preprocessing_csvs: Sequence[str], out_dir: str,
+                          num_jobs: int = 1000,
+                          run_shards: bool = True) -> "pandas.DataFrame":
+    """Full stage: gather -> shard -> InterProScan each shard -> combine ->
+    all_protein_family_labels.csv. With run_shards=False only the inputs are
+    written (use the Slurm array like the reference)."""
+    sequences = gather_chain_sequences(preprocessing_csvs, ("polypeptide(L)",))
+    fasta = write_family_label_inputs(sequences, out_dir, num_jobs)
+    label_dir = os.path.join(out_dir, "out")
+    os.makedirs(label_dir, exist_ok=True)
+    if run_shards:
+        for job in range(num_jobs):
+            shard = os.path.join(out_dir, "fasta_splits",
+                                 f"all_protein_sequences_{job}.fa")
+            if os.path.getsize(shard) > 0:
+                run_interproscan(shard, os.path.join(
+                    label_dir, f"family_label_{job}.csv"))
+    df = combine_family_labels(label_dir, fasta)
+    df.to_csv(os.path.join(out_dir, "all_protein_family_labels.csv"),
+              index=False)
+    return df
+
+
 def main(argv=None):
     """CLI: scan a structure database shard into a CSV (role of the
     reference's Slurm-sharded scan script)."""

@@ -122,3 +122,54 @@ def test_visualize(tmp_path):
               open(tmp_path / "r2.json", "w"))
     adf = aggregate_result_jsons(str(tmp_path / "r*.json"))
     assert len(adf) == 2 and adf["sequence_recovery"].mean() == pytest.approx(0.6)
+
+
+def test_family_label_pipeline(tmp_path, monkeypatch):
+    """InterProScan family-label stage (reference
+    data/family_label_and_cluster.ipynb + family_label.sh) with the scanner
+    subprocess mocked: gather -> shard -> per-shard TSV -> combined CSV with
+    sequences mapped back from the temporary integer accessions."""
+    import pandas as pd
+    from na_mpnn_tpu.data import curation
+
+    # two structures' sequences CSVs + a preprocessing_output.csv
+    seqs1 = tmp_path / "s1.csv"
+    pd.DataFrame({"chain_type": ["polypeptide(L)", "polyribonucleotide"],
+                  "sequence": ["MKV", "ACGU"]}).to_csv(seqs1, index=False)
+    seqs2 = tmp_path / "s2.csv"
+    pd.DataFrame({"chain_type": ["polypeptide(L)"],
+                  "sequence": ["GGAA"]}).to_csv(seqs2, index=False)
+    pre = tmp_path / "preprocessing_output.csv"
+    pd.DataFrame({"sequences_path": [str(seqs1), str(seqs2)]}).to_csv(
+        pre, index=False)
+
+    seqs = curation.gather_chain_sequences([str(pre)], ("polypeptide(L)",))
+    assert seqs == ["GGAA", "MKV"]
+    assert curation.gather_chain_sequences(
+        [str(pre)], curation.NA_CHAIN_TYPES) == ["ACGU"]
+
+    def fake_scan(fasta_path, output_path, applications="Pfam"):
+        rows = []
+        header = None
+        for line in open(fasta_path):
+            if line.startswith(">"):
+                header = line[1:].strip()
+            elif line.strip():
+                rows.append(f"{header}\tmd5\t{len(line.strip())}\tPfam\t"
+                            f"PF{header}\tdesc\t1\t3\t0.1\tT\td\tIPR\ti\tg\tp")
+        with open(output_path, "w") as f:
+            f.write("\n".join(rows))
+
+    monkeypatch.setattr(curation, "run_interproscan", fake_scan)
+    out = tmp_path / "fl"
+    df = curation.family_label_pipeline([str(pre)], str(out), num_jobs=3)
+    assert set(df["sequence"]) == {"GGAA", "MKV"}
+    assert (out / "all_protein_family_labels.csv").exists()
+    assert "protein_accession" not in df.columns
+    assert list(df["signature_accession"]) == ["PF0", "PF1"]
+
+
+def test_standardize_na_sequence():
+    from na_mpnn_tpu.data.curation import standardize_na_sequence
+    assert standardize_na_sequence("ACGU") == "ACGT"
+    assert standardize_na_sequence("ACGTN?") == "ACGTXX"
