@@ -135,33 +135,53 @@ def parse_structure_native(path: str, first_model_only: bool = True
 
 def read_pdb_atoms_native(path: str, first_model_only: bool = True) -> List:
     """Native-parser drop-in for data.pdb.read_pdb_atoms: ATOM/HETATM records
-    with altloc in (' ', 'A') and occupancy > 0, as PDBAtom objects."""
+    with altloc in (' ', 'A') and occupancy > 0, as PDBAtom objects.
+
+    The columnar->object conversion is vectorized: all filters and string
+    decodes run as whole-column numpy ops, leaving only one object
+    construction per surviving atom (the per-atom attribute loop was slower
+    than the pure-Python line parser it replaced)."""
     from .pdb import PDBAtom
 
     t = parse_structure_native(path, first_model_only)
     if t is None:
         return None
+    if t.n == 0:
+        return []
+
+    keep = (t.occ > 0) & ((t.altloc == 0) | (t.altloc == ord(" "))
+                          | (t.altloc == ord("A")))
+    if first_model_only:
+        keep &= t.model == t.model[0]
+    idx = np.nonzero(keep)[0]
+
+    def decode(col):
+        # fixed-width byte columns -> stripped python strings, one bulk op
+        return np.char.strip(
+            col[idx].view(f"S{col.shape[1]}")[:, 0].astype(str)).tolist()
+
+    names = decode(t.name)
+    resnames = decode(t.resname)
+    chains = [c or " " for c in decode(t.chain)]
+    elements = [e.upper() for e in decode(t.element)]
+    alts = [chr(a) if a else " " for a in t.altloc[idx].tolist()]
+    icodes = [chr(c).strip() if c else "" for c in t.icode[idx].tolist()]
+    groups = np.where(t.hetero[idx], "HETATM", "ATOM").tolist()
+    xyz = t.xyz[idx]
+    serials = t.serial[idx].tolist()
+    resnums = t.resnum[idx].tolist()
+    occs = t.occ[idx].tolist()
+    bfacs = t.bfac[idx].tolist()
+
     out = []
-    first_model = t.model[0] if t.n else 1
-    for i in range(t.n):
-        if first_model_only and t.model[i] != first_model:
-            break
-        alt = chr(t.altloc[i]) if t.altloc[i] else " "
-        if alt not in (" ", "A"):
-            continue
-        if t.occ[i] <= 0:
-            continue
-        element = t._str(t.element[i]).upper()
-        name = t.name_str(i)
+    for i in range(len(idx)):
+        element = elements[i]
         if not element:
-            for ch in name:
+            for ch in names[i]:
                 if ch.isalpha():
                     element = ch.upper()
                     break
-        icode = chr(t.icode[i]).strip() if t.icode[i] else ""
-        out.append(PDBAtom("HETATM" if t.hetero[i] else "ATOM",
-                           int(t.serial[i]), name, alt, t.resname_str(i),
-                           t.chain_str(i) or " ", int(t.resnum[i]), icode,
-                           t.xyz[i].copy(), float(t.occ[i]), float(t.bfac[i]),
-                           element, ""))
+        out.append(PDBAtom(groups[i], serials[i], names[i], alts[i],
+                           resnames[i], chains[i], resnums[i], icodes[i],
+                           xyz[i], occs[i], bfacs[i], element, ""))
     return out
