@@ -225,6 +225,64 @@ def parse_assemblies(tables: Dict[str, CifTable]) -> Dict[str, List]:
 
 
 # ---------------------------------------------------------------------------
+# PDB-format writers (role of reference CIFParser.save / save_all,
+# cifutils.py:821-880): ATOM/HETATM records per chain, CONECT records for
+# covalent links, TER between chains.
+# ---------------------------------------------------------------------------
+
+def _guess_element(atom_name: str) -> str:
+    for ch in atom_name:
+        if ch.isalpha():
+            return ch.upper()
+    return "X"
+
+
+def _write_chain_atoms(f, chain, chain_label, acount, a2i):
+    hetero = "nonpoly" in chain.type
+    for key, a in chain.atoms.items():
+        if a.occ <= 0:
+            continue
+        _, num, res_name, atom_name = key
+        try:
+            resnum = int(num)
+        except (TypeError, ValueError):
+            resnum = 0
+        f.write("%-6s%5d %-4s %3s%2s%4d    %8.3f%8.3f%8.3f%6.2f%6.2f"
+                "          %2s\n" % (
+                    "HETATM" if hetero else "ATOM", acount, atom_name[:4],
+                    res_name[:3], chain_label[:2], resnum,
+                    a.xyz[0], a.xyz[1], a.xyz[2], a.occ, a.bfac,
+                    _guess_element(atom_name)))
+        a2i[key] = acount
+        acount += 1
+    return acount
+
+
+def save_chain(chain: "Chain", filename: str):
+    """Write one chain as PDB-format records (reference CIFParser.save)."""
+    with open(filename, "w") as f:
+        _write_chain_atoms(f, chain, chain.id, 1, {})
+        f.write("END\n")
+
+
+def save_all(chains: Dict[str, "Chain"], covale, filename: str):
+    """Write every chain + CONECT records for covalent links (reference
+    CIFParser.save_all). `covale` is the parse() output: pairs of
+    (chain_id, seq_num, res_name, atom_name) keys."""
+    with open(filename, "w") as f:
+        acount = 1
+        a2i: Dict = {}
+        for chain_id, chain in chains.items():
+            acount = _write_chain_atoms(f, chain, chain_id, acount, a2i)
+            f.write("TER\n")
+        for key_a, key_b in covale:
+            ia, ib = a2i.get(tuple(key_a)), a2i.get(tuple(key_b))
+            if ia is not None and ib is not None:
+                f.write("%-6s%5d%5d\n" % ("CONECT", ia, ib))
+        f.write("END\n")
+
+
+# ---------------------------------------------------------------------------
 # Parsers with the reference Chain contract
 # ---------------------------------------------------------------------------
 

@@ -121,6 +121,75 @@ def aggregate_result_jsons(results_glob: str) -> "pandas.DataFrame":
     return pd.DataFrame(rows)
 
 
+def dataset_statistics(scan_csv: str, out_path: str = None):
+    """Dataset composition summary + optional figure from a curation scan CSV
+    (role of the reference visualization/plot_dataset_statistics.ipynb):
+    polymer-type counts, chain-count/heavy-atom/coverage distributions,
+    method breakdown, deposition-date histogram. Returns the summary dict."""
+    import ast
+    import pandas as pd
+
+    df = pd.read_csv(scan_csv)
+    type_counts: dict = {}
+    n_chains = []
+    for v in df.get("poly_type", []):
+        types = ast.literal_eval(v) if isinstance(v, str) else (v or [])
+        n_chains.append(len(types))
+        for t in types:
+            type_counts[t] = type_counts.get(t, 0) + 1
+    summary = {
+        "num_structures": int(len(df)),
+        "polymer_type_counts": type_counts,
+        "mean_chains_per_structure": float(np.mean(n_chains)) if n_chains else 0.0,
+        "method_counts": df["method"].value_counts().to_dict()
+        if "method" in df else {},
+        "median_resolution": float(df["resolution"].dropna().median())
+        if "resolution" in df and df["resolution"].notna().any() else None,
+        "mean_coverage": float(df["coverage"].mean()) if "coverage" in df else None,
+        "total_heavy_atoms": int(df["num_heavy"].sum()) if "num_heavy" in df else None,
+    }
+    if out_path:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(13, 3.5))
+        if type_counts:
+            axes[0].bar(range(len(type_counts)), list(type_counts.values()))
+            axes[0].set_xticks(range(len(type_counts)))
+            axes[0].set_xticklabels([t[:12] for t in type_counts], rotation=45,
+                                    ha="right", fontsize=7)
+            axes[0].set_title("chains by polymer type")
+        if "num_heavy" in df:
+            axes[1].hist(df["num_heavy"].dropna(), bins=30)
+            axes[1].set_title("heavy atoms / structure")
+        if "resolution" in df and df["resolution"].notna().any():
+            axes[2].hist(df["resolution"].dropna(), bins=30)
+            axes[2].set_title("resolution (Å)")
+        fig.tight_layout()
+        fig.savefig(out_path, dpi=120)
+    return summary
+
+
+def summarize_scores(results_glob: str, group_by: str = None):
+    """Aggregate score JSONs into per-metric mean/median/count stats (role of
+    the reference plot_in_silico_results.ipynb / plot_experimental_results
+    summary cells). Returns (per_row_df, summary_df)."""
+    import pandas as pd
+
+    df = aggregate_result_jsons(results_glob)
+    num = df.select_dtypes("number")
+    if group_by and group_by in df:
+        summary = df.groupby(group_by)[num.columns].agg(
+            ["mean", "median", "count"])
+    else:
+        summary = pd.DataFrame({
+            "mean": num.mean(), "median": num.median(),
+            "count": num.count(),
+        })
+    return df, summary
+
+
 def main(argv=None):
     import argparse
 
@@ -135,6 +204,13 @@ def main(argv=None):
     ag = sub.add_parser("aggregate")
     ag.add_argument("results_glob")
     ag.add_argument("out_csv")
+    st = sub.add_parser("dataset_stats")
+    st.add_argument("scan_csv")
+    st.add_argument("out_png")
+    sm = sub.add_parser("summarize")
+    sm.add_argument("results_glob")
+    sm.add_argument("out_csv")
+    sm.add_argument("--group_by")
     args = p.parse_args(argv)
 
     if args.cmd == "curves":
@@ -147,6 +223,13 @@ def main(argv=None):
         sequence_logo(hr, out_path=args.out_path)
     elif args.cmd == "aggregate":
         aggregate_result_jsons(args.results_glob).to_csv(args.out_csv, index=False)
+    elif args.cmd == "dataset_stats":
+        print(json.dumps(dataset_statistics(args.scan_csv, args.out_png),
+                         indent=2))
+    elif args.cmd == "summarize":
+        _, summary = summarize_scores(args.results_glob, args.group_by)
+        summary.to_csv(args.out_csv)
+        print(summary)
 
 
 if __name__ == "__main__":

@@ -231,3 +231,36 @@ def test_dispatcher_has_reference_function_set():
                "process_design_monomer_rna", "score_design_monomer_rna",
                "predict_nucleic_acid_ppm", "score_specificity_prediction"]:
         assert fn in harness.FUNCTIONS
+
+
+def test_dataset_statistics_and_score_summary(tmp_path):
+    """Dataset-stats + score-summary visualization equivalents (reference
+    plot_dataset_statistics / plot_experimental_results notebooks)."""
+    import pandas as pd
+    from na_mpnn_tpu.eval.visualize import dataset_statistics, summarize_scores
+
+    scan = tmp_path / "scan.csv"
+    pd.DataFrame({
+        "label": ["a", "b"],
+        "poly_type": ["['polypeptide(L)', 'polyribonucleotide']",
+                      "['polydeoxyribonucleotide']"],
+        "method": ["X-RAY_DIFFRACTION", "ELECTRON_MICROSCOPY"],
+        "resolution": [2.0, 3.4],
+        "coverage": [0.9, 0.8],
+        "num_heavy": [1000, 2000],
+    }).to_csv(scan, index=False)
+    out_png = tmp_path / "stats.png"
+    s = dataset_statistics(str(scan), str(out_png))
+    assert s["num_structures"] == 2
+    assert s["polymer_type_counts"]["polypeptide(L)"] == 1
+    assert s["median_resolution"] == 2.7
+    assert out_png.exists()
+
+    for i, rec in enumerate([0.5, 0.7]):
+        json.dump({"name": f"d{i}", "sequence_recovery": rec,
+                   "eternafold_f1_score_pairs": 1.0 - rec},
+                  open(tmp_path / f"score_{i}.json", "w"))
+    df, summary = summarize_scores(str(tmp_path / "score_*.json"))
+    assert len(df) == 2
+    assert summary.loc["sequence_recovery", "mean"] == 0.6
+    assert summary.loc["sequence_recovery", "count"] == 2

@@ -226,3 +226,31 @@ def test_parse_operation_expression_forms():
     assert parse_operation_expression("(1,2,5)") == ["1", "2", "5"]
     assert parse_operation_expression("P,X0") == ["P", "X0"]
     assert parse_operation_expression(" 1-2,7 ") == ["1", "2", "7"]
+
+
+def test_save_all_roundtrip(tmp_path):
+    """save_all writes ATOM/HETATM + TER + CONECT records that the PDB
+    reader can re-parse (role of reference CIFParser.save/save_all,
+    cifutils.py:821-880)."""
+    from na_mpnn_tpu.data.cif import save_all, save_chain
+    from na_mpnn_tpu.data.pdb import read_pdb_atoms
+
+    struct = _write(tmp_path, "test.cif", LIGAND_STRUCTURE_CIF)
+    parser = CIFParser()
+    chains, asmb, covale, meta = parser.parse(struct)
+
+    out = str(tmp_path / "out.pdb")
+    first_atom = next(iter(chains["A"].atoms))
+    first_lig = next(iter(chains["B"].atoms))
+    save_all(chains, [(first_atom, first_lig)], out)
+    text = open(out).read()
+    assert "TER" in text and "CONECT" in text and "HETATM" in text
+
+    atoms = read_pdb_atoms(out, use_native=False)
+    n_in = sum(len(c.atoms) for c in chains.values())
+    assert len(atoms) == n_in
+    assert {a.chain for a in atoms} == {"A", "B"}
+
+    single = str(tmp_path / "single.pdb")
+    save_chain(chains["A"], single)
+    assert len(read_pdb_atoms(single, use_native=False)) == len(chains["A"].atoms)
