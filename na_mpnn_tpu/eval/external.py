@@ -34,6 +34,31 @@ def _require(binary: str, env_var: Optional[str] = None) -> str:
     return path
 
 
+def parse_dssr_output(text: str):
+    """(sequence, dot_bracket) from a DSSR text report: scan for the
+    '>...' FASTA-style header in the secondary-structure section and take the
+    following sequence + dot-bracket lines, validating each line's charset
+    (sturdier than a single whole-output regex — DSSR reports vary in
+    surrounding sections)."""
+    seq_chars = set("ACGUTNacgutn&?.xX")
+    ss_chars = set(".()[]{}<>&,?") | set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        if not line.startswith(">"):
+            continue
+        rest = [ln.strip() for ln in lines[i + 1:i + 3]]
+        if len(rest) == 2 and rest[0] and rest[1] \
+                and set(rest[0]) <= seq_chars and set(rest[1]) <= ss_chars \
+                and len(rest[0]) == len(rest[1]):
+            return rest[0], rest[1]
+    m = re.search(r">.*\n([ACGUacgu&?\.\w]+)\n([\.\(\)\[\]\{\}<>A-Za-z&,?]+)",
+                  text)
+    if m:
+        return m.group(1), m.group(2)
+    raise RuntimeError("could not parse DSSR output")
+
+
 def run_dssr(structure_path: str, dssr_binary: str = "x3dna-dssr") -> Dict:
     """Extract sequence + dot-bracket secondary structure with DSSR
     (reference run_dssr, evaluation/na_eval_utils.py:594-664)."""
@@ -43,11 +68,12 @@ def run_dssr(structure_path: str, dssr_binary: str = "x3dna-dssr") -> Dict:
             [binary, f"--input={structure_path}", "--output=dssr_out.txt"],
             cwd=tmp, capture_output=True, text=True, check=True)
         text = open(os.path.join(tmp, "dssr_out.txt")).read()
-    seq_match = re.search(r">.*\n([ACGUacgu&?\.\w]+)\n([\.\(\)\[\]\{\}<>A-Za-z&,?]+)", text)
-    if not seq_match:
-        raise RuntimeError(f"could not parse DSSR output for {structure_path}")
-    sequence = standardize_rna_sequence(seq_match.group(1), method="dssr")
-    ss = standardize_secondary_structure(seq_match.group(2), method="dssr")
+    try:
+        raw_seq, raw_ss = parse_dssr_output(text)
+    except RuntimeError as e:
+        raise RuntimeError(f"{e} for {structure_path}") from e
+    sequence = standardize_rna_sequence(raw_seq, method="dssr")
+    ss = standardize_secondary_structure(raw_ss, method="dssr")
     return {"sequence": sequence, "secondary_structure": ss, "raw": text,
             "stdout": out.stdout}
 

@@ -68,6 +68,16 @@ def write_fasta_file(path, fasta_entries):
     write_text_file(path, "\n".join(f">{h}\n{s}" for h, s in fasta_entries))
 
 
+def parse_design_fasta_header(header: str) -> Dict[str, str]:
+    """key=value fields from a design FASTA header. The CLI header mixes
+    comma- and space-separated fields (reference inference/run.py:350-352:
+    '..., overall_confidence=X seq_rec=Y'), so match key=value tokens
+    directly instead of splitting on any one delimiter."""
+    import re
+    return {m.group(1): m.group(2)
+            for m in re.finditer(r"([A-Za-z_]\w*)=([^,\s]+)", header)}
+
+
 def chain_num_to_chain_id(chain_num: int) -> str:
     """0->A, 25->Z, 26->AA, ... (reference chain_num_to_chain_id)."""
     out = ""
@@ -142,17 +152,7 @@ def run_na_mpnn_sequence(structure_path, output_directory, batch_size=10,
     entries = read_fasta_file(fasta_path)[1:]  # skip the native entry
     design_data = []
     for header, seq in entries:
-        meta = {}
-        for item in header.split(", ")[1:]:
-            item = item.strip()
-            if "=" in item:
-                k, v = item.split("=", 1)
-                # the confidence field is space-joined with seq_rec in the
-                # reference header format
-                for sub in (k + "=" + v).split(" "):
-                    if "=" in sub:
-                        kk, vv = sub.split("=", 1)
-                        meta[kk] = vv
+        meta = parse_design_fasta_header(header)
         design_data.append({
             "input_structure_name": structure_name,
             "input_structure_path": structure_path,

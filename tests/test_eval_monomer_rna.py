@@ -264,3 +264,28 @@ def test_dataset_statistics_and_score_summary(tmp_path):
     assert len(df) == 2
     assert summary.loc["sequence_recovery", "mean"] == 0.6
     assert summary.loc["sequence_recovery", "count"] == 2
+
+
+def test_parse_dssr_output_structured():
+    text = """\
+Some preamble
+****************************************************************************
+Secondary structures in dot-bracket notation (dbn) as a whole and per chain
+>4oqu nts=12 [whole]
+GGGGAAAACCCC
+((((....))))
+****************************************************************************
+"""
+    seq, ss = external.parse_dssr_output(text)
+    assert seq == "GGGGAAAACCCC" and ss == "((((....))))"
+    with pytest.raises(RuntimeError):
+        external.parse_dssr_output("no structure here")
+
+
+def test_parse_design_fasta_header_mixed_delimiters():
+    h = ("4oqu, id=3, T=0.1, seed=7, overall_confidence=0.8123 seq_rec=0.4321")
+    meta = harness.parse_design_fasta_header(h)
+    assert meta["id"] == "3"
+    assert meta["seq_rec"] == "0.4321"
+    assert meta["overall_confidence"] == "0.8123"
+    assert meta["T"] == "0.1"
