@@ -162,8 +162,10 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
 
     use_pallas = _use_pallas_kernels(cfg)
     if use_pallas:
+        from ..ops import interpret_mode
         from ..ops.knn import knn_graph_pallas
-        _, E_idx = knn_graph_pallas(X_ref, mask, cfg.k_neighbors)
+        _, E_idx = knn_graph_pallas(X_ref, mask, cfg.k_neighbors,
+                                    interpret=interpret_mode())
     else:
         _, E_idx = knn_graph(X_ref, mask, cfg.k_neighbors)
 
@@ -186,10 +188,18 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     n_pos = cfg.num_positional_embeddings
     W = p["edge_embedding"]["w"]
     if use_pallas:
-        from ..ops.rbf_edge import rbf_edge_features
+        from ..ops import interpret_mode
         compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        E_rbf = rbf_edge_features(X_aug, X_m_aug, E_idx, W[n_pos:],
-                                  compute_dtype=compute_dtype)
+        if cfg.rbf_mode == "classed":
+            from ..ops.rbf_classed import rbf_edge_features_classed
+            E_rbf = rbf_edge_features_classed(X_aug, X_m_aug, E_idx, W[n_pos:],
+                                              compute_dtype=compute_dtype,
+                                              interpret=interpret_mode())
+        else:
+            from ..ops.rbf_edge import rbf_edge_features
+            E_rbf = rbf_edge_features(X_aug, X_m_aug, E_idx, W[n_pos:],
+                                      compute_dtype=compute_dtype,
+                                      interpret=interpret_mode())
     else:
         RBF_all = all_pair_rbf(X_aug, E_idx, X_m_aug, cfg.num_rbf)
         E_rbf = jnp.dot(RBF_all, W[n_pos:])

@@ -140,13 +140,26 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         return enc_layer_apply(layer_params, h_V, h_E, E_idx, mask, mask_attend,
                                cfg.dropout, lkey, deterministic)
 
-    use_fused = deterministic and _use_fused_layers(cfg)
-    if use_fused:
-        from ..ops.fused_layers import enc_layer_fused
+    if _use_fused_layers(cfg):
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        for layer_params in params["encoder"]:
-            h_V, h_E = enc_layer_fused(layer_params, h_V, h_E, E_idx, mask,
-                                       mask_attend, compute_dtype=cdt)
+        if deterministic:
+            from ..ops import interpret_mode
+            from ..ops.fused_layers import enc_layer_fused
+            for layer_params in params["encoder"]:
+                h_V, h_E = enc_layer_fused(layer_params, h_V, h_E, E_idx, mask,
+                                           mask_attend, compute_dtype=cdt,
+                                           interpret=interpret_mode())
+            return h_V, h_E, E_idx
+        # Training: differentiable Pallas message kernels (custom VJP with
+        # in-kernel rematerialization); dropout + norms/FFN stay in XLA.
+        # jax.checkpoint still wraps the whole layer: although the kernels'
+        # VJP saves only layer inputs, the XLA tail (dropout masks, norms,
+        # FFN, edge residual) would otherwise pin ~300MB/layer of residuals —
+        # measured 40x slower on-relay without the remat.
+        for i, layer_params in enumerate(params["encoder"]):
+            h_V, h_E = jax.checkpoint(_enc_layer_train_fused, static_argnums=(5, 6))(
+                layer_params, h_V, h_E, mask_attend, layer_keys[i],
+                cfg.dropout, cdt, E_idx, mask)
         return h_V, h_E, E_idx
 
     for i, layer_params in enumerate(params["encoder"]):
@@ -158,6 +171,39 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         else:
             h_V, h_E = run_layer(layer_params, h_V, h_E, layer_keys[i])
     return h_V, h_E, E_idx
+
+
+def _enc_layer_train_fused(p, h_V, h_E, mask_attend, key, rate, cdt, E_idx, mask):
+    """Encoder layer for training on the Pallas message kernels: same math as
+    modules.enc_layer_apply (node update + edge update) with the edge-message
+    MLPs in ops.message_kernels (differentiable custom VJP)."""
+    from .modules import dropout, layer_norm, pff_apply
+    from ..ops import interpret_mode
+    from ..ops.message_kernels import message_agg_batched, message_edge_batched
+
+    interp = interpret_mode()
+    if key is not None:
+        k1, k2, k3 = jax.random.split(key, 3)
+    else:
+        k1 = k2 = k3 = None
+    H = h_V.shape[-1]
+    deterministic = key is None
+
+    wc = p["W1"]["w"][2 * H:]
+    G = gather_nodes(jnp.dot(h_V, wc), E_idx)
+    dh = message_agg_batched(p, h_V, h_E, G, mask_attend, contract_e=True,
+                             compute_dtype=cdt, interpret=interp)
+    h_V = layer_norm(p["norm1"], h_V + dropout(dh, rate, k1, deterministic))
+    dh = pff_apply(p["dense"], h_V)
+    h_V = layer_norm(p["norm2"], h_V + dropout(dh, rate, k2, deterministic))
+    h_V = mask[..., None] * h_V
+
+    wc11 = p["W11"]["w"][2 * H:]
+    G11 = gather_nodes(jnp.dot(h_V, wc11), E_idx)
+    m = message_edge_batched(p, h_V, h_E, G11, compute_dtype=cdt,
+                             interpret=interp)
+    h_E = layer_norm(p["norm3"], h_E + dropout(m, rate, k3, deterministic))
+    return h_V, h_E
 
 
 def _use_fused_layers(cfg: ModelConfig) -> bool:
@@ -225,6 +271,7 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
         return mask[..., None] * h_V
 
     if deterministic and _use_fused_layers(cfg):
+        from ..ops import interpret_mode
         from ..ops.fused_layers import dec_layer_fused
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         for layer_params in params["decoder"]:
@@ -233,7 +280,37 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
             static = static - layer_params["W1"]["b"]
             G_v = mask_bw * gather_nodes(jnp.dot(h_V, wv), E_idx)
             h_V = dec_layer_fused(layer_params, h_V, static, G_v, mask,
-                                  compute_dtype=cdt)
+                                  compute_dtype=cdt, interpret=interpret_mode())
+        return h_V
+
+    if not deterministic and _use_fused_layers(cfg):
+        # Training on the differentiable Pallas message kernels.
+        from ..ops import interpret_mode
+        from ..ops.message_kernels import message_agg_batched
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        interp = interpret_mode()
+
+        def run_layer_kernel(layer_params, h_V, lkey):
+            _, wv, _, static = static_terms(layer_params)
+            static = static - layer_params["W1"]["b"]  # kernel re-adds b1
+            G_v = mask_bw * gather_nodes(jnp.dot(h_V, wv), E_idx)
+            ones_att = jnp.ones(G_v.shape[:3], h_V.dtype)
+            dh = message_agg_batched(layer_params, h_V, static, G_v, ones_att,
+                                     contract_e=False, compute_dtype=cdt,
+                                     interpret=interp)
+            if lkey is not None:
+                k1, k2 = jax.random.split(lkey)
+            else:
+                k1 = k2 = None
+            h_V = layer_norm(layer_params["norm1"],
+                             h_V + dropout(dh, cfg.dropout, k1, deterministic))
+            dh = pff_apply(layer_params["dense"], h_V)
+            h_V = layer_norm(layer_params["norm2"],
+                             h_V + dropout(dh, cfg.dropout, k2, deterministic))
+            return mask[..., None] * h_V
+
+        for i, layer_params in enumerate(params["decoder"]):
+            h_V = jax.checkpoint(run_layer_kernel)(layer_params, h_V, layer_keys[i])
         return h_V
 
     for i, layer_params in enumerate(params["decoder"]):
