@@ -313,6 +313,41 @@ def classify_nodes(M_nodes):
     return jnp.where(has_n, jnp.where(has_p, 2, 1), 0).astype(jnp.int32)
 
 
+def rbf_edge_features_classed_qk(X_aug_q, X_m_q, X_aug_k, X_m_k, E_idx, W,
+                                 compute_dtype=jnp.float32, interpret=False):
+    """Query/key variant for the edge-partitioned forward: local query rows
+    [B,Lq,A,3] against globally-gathered neighbor rows ([B,Lk,A,3] indexed by
+    E_idx [B,Lq,K]). Same kernel, same exact semantics."""
+    B, Lq, A_, _ = X_aug_q.shape
+    K = E_idx.shape[2]
+    assert A_ == A, (A_, A)
+    E = B * Lq * K
+    Ep = _round_up(E, EDGE_TILE)
+
+    Xq_planes = jnp.concatenate(
+        [X_aug_q[..., c].astype(jnp.float32) for c in range(3)], axis=-1)
+    Xk_planes = jnp.concatenate(
+        [X_aug_k[..., c].astype(jnp.float32) for c in range(3)], axis=-1)
+    idx = E_idx.reshape(B, Lq * K)
+    Xj = jnp.take_along_axis(Xk_planes, idx[..., None], axis=1)
+    Mj = jnp.take_along_axis(X_m_k.astype(jnp.float32), idx[..., None], axis=1)
+    Xi = jnp.repeat(Xq_planes, K, axis=1)
+    Mi = jnp.repeat(X_m_q.astype(jnp.float32), K, axis=1)
+
+    def _pad(x):
+        x = x.reshape(E, x.shape[-1])
+        return jnp.pad(x, ((0, Ep - E), (0, 0))) if Ep != E else x
+
+    W0, W1, W2, W3 = split_weight_tables(W)
+    sg = jax.lax.stop_gradient
+    out = _classed_proj(
+        sg(_pad(Xi)), sg(_pad(Xj)), sg(_pad(Mi)), sg(_pad(Mj)),
+        W0.astype(jnp.float32), W1.astype(jnp.float32),
+        W2.astype(jnp.float32), W3.astype(jnp.float32), compute_dtype,
+        interpret)
+    return out[:E].reshape(B, Lq, K, -1)
+
+
 def rbf_edge_features_classed(X_aug, X_m_aug, E_idx, W,
                               compute_dtype=jnp.float32, interpret=False):
     """Drop-in replacement for ops.rbf_edge.rbf_edge_features: [B,L,A,3]

@@ -11,8 +11,18 @@ slice); XLA schedules them — this is the halo-exchange design of SURVEY.md
 §2.3 with the halo widened to the full (small) node set, which is both
 simpler and cheaper than per-boundary bookkeeping at H=128, K=32.
 
-Numerics are identical to models.forward: every shard computes exactly the
-rows it owns with global neighbor data.
+Training support (replaces the reference's only recourse for big structures —
+spatial cropping, na_data_utils.py:1037-1071): coordinate noise and dropout
+are generated *per global row* by folding the row id into the PRNG key
+(`jax.random.fold_in`), so the random stream each residue sees is a function
+of (key, row) only — independent of how L is partitioned. Loss and gradients
+are therefore bitwise-stable across graph-axis sizes (a (data, graph=G) mesh
+matches G=1 exactly, up to collective reduction order), which is the
+correctness contract test_graph_parallel verifies. Layers are rematerialized
+(jax.checkpoint) like the single-device training path.
+
+Numerics are identical to models.forward in deterministic mode: every shard
+computes exactly the rows it owns with global neighbor data.
 """
 from __future__ import annotations
 
@@ -31,6 +41,12 @@ from ..models.modules import (_message_tail, _split_w1, gather_nodes,
                               layer_norm, linear, pff_apply)
 
 GRAPH_AXIS = "graph"
+
+# Tags folding the random-stream role into the per-row key (any fixed
+# distinct ints).
+_TAG_NOISE = 101
+_TAG_ENC = 200    # + 10 * layer + slot
+_TAG_DEC = 500    # + 10 * layer + slot
 
 
 def _ag(x, axis=1):
@@ -57,19 +73,61 @@ def _gather_global(nodes_global, E_idx):
     return gather_nodes(nodes_global, E_idx)
 
 
-def _features_local(p, cfg: ModelConfig, lb):
+# ---------------------------------------------------------------------------
+# Partition-invariant randomness: one PRNG stream per (key, tag, global row)
+# ---------------------------------------------------------------------------
+
+def _row_keys(key, tag, rid):
+    """Per-row keys from the global row ids rid [B, Ls] -> [B*Ls] keys."""
+    k = jax.random.fold_in(key, tag)
+    return jax.vmap(lambda r: jax.random.fold_in(k, r))(rid.reshape(-1))
+
+
+def _row_normal(key, tag, rid, row_shape, dtype=jnp.float32):
+    ks = _row_keys(key, tag, rid)
+    out = jax.vmap(lambda kk: jax.random.normal(kk, row_shape, dtype))(ks)
+    return out.reshape(rid.shape + row_shape)
+
+
+def _row_dropout(x, rate, key, tag, rid):
+    """Dropout on x [B, Ls, ...] with a per-global-row random stream."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    ks = _row_keys(key, tag, rid)
+    row_shape = x.shape[2:]
+    m = jax.vmap(lambda kk: jax.random.bernoulli(kk, keep, row_shape))(ks)
+    m = m.reshape(x.shape)
+    return jnp.where(m, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Local (per-shard) model
+# ---------------------------------------------------------------------------
+
+def _features_local(p, cfg: ModelConfig, lb, key=None):
     """Row-local featurization with globally-gathered neighbor data."""
     from ..models.features import _use_pallas_kernels
 
-    X = lb["X"].astype(jnp.float32)
+    X = jnp.asarray(lb["X"])  # keep the caller's dtype (f64 parity tests)
+    if key is not None and (cfg.protein_augment_eps > 0 or cfg.dna_augment_eps > 0
+                            or cfg.rna_augment_eps > 0):
+        eps = (lb["protein_mask"] * cfg.protein_augment_eps
+               + lb["dna_mask"] * cfg.dna_augment_eps
+               + lb["rna_mask"] * cfg.rna_augment_eps).astype(X.dtype)
+        noise = _row_normal(key, _TAG_NOISE, lb["rid"], X.shape[2:], X.dtype)
+        X = X + lb["X_m"][:, :, :, None].astype(X.dtype) * eps[:, :, None, None] * noise
+
     X_aug, X_m_aug, X_ref = build_augmented_atoms(X, lb["X_m"], lb, cfg)
     X_ref_g = _ag(X_ref)
     mask_g = _ag(lb["mask"])
     use_pallas = _use_pallas_kernels(cfg)
     if use_pallas:
+        from ..ops import interpret_mode
         from ..ops.knn import knn_graph_pallas_qk
         _, E_idx = knn_graph_pallas_qk(X_ref, X_ref_g, lb["mask"], mask_g,
-                                       cfg.k_neighbors)
+                                       cfg.k_neighbors,
+                                       interpret=interpret_mode())
     else:
         _, E_idx = _knn_local_rows(X_ref, X_ref_g, lb["mask"], mask_g,
                                    cfg.k_neighbors)
@@ -83,29 +141,36 @@ def _features_local(p, cfg: ModelConfig, lb):
     W = p["edge_embedding"]["w"]
     if use_pallas:
         # Pallas fused RBF+projection on (local query, gathered global
-        # neighbor) coordinate planes.
-        from ..ops.rbf_edge import (EDGE_TILE, permute_rbf_weight,
-                                    _rbf_proj)
-        Xp_local = jnp.concatenate([X_aug[..., c] for c in range(3)], axis=-1)
-        Xp_global = jnp.concatenate([X_aug_g[..., c] for c in range(3)], axis=-1)
-        idx = E_idx.reshape(B, Ls * K)
-        Xj = jnp.take_along_axis(Xp_global, idx[..., None], axis=1)
-        Mj = jnp.take_along_axis(X_m_aug_g.astype(jnp.float32),
-                                 idx[..., None], axis=1)
-        Xi = jnp.repeat(Xp_local, K, axis=1)
-        Mi = jnp.repeat(X_m_aug.astype(jnp.float32), K, axis=1)
-        E_flat = B * Ls * K
-        Ep = -(-E_flat // EDGE_TILE) * EDGE_TILE
-
-        def pad(x):
-            x = x.reshape(E_flat, x.shape[-1])
-            return jnp.pad(x, ((0, Ep - E_flat), (0, 0))) if Ep != E_flat else x
-
+        # neighbor) coordinate planes — class-specialized when configured.
+        from ..ops import interpret_mode
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        sg = jax.lax.stop_gradient
-        E_rbf = _rbf_proj(sg(pad(Xi)), sg(pad(Xj)), sg(pad(Mi)), sg(pad(Mj)),
-                          permute_rbf_weight(W[n_pos:]).astype(jnp.float32),
-                          cdt, False)[:E_flat].reshape(B, Ls, K, -1)
+        if cfg.rbf_mode == "classed":
+            from ..ops.rbf_classed import rbf_edge_features_classed_qk
+            E_rbf = rbf_edge_features_classed_qk(
+                X_aug, X_m_aug, X_aug_g, X_m_aug_g, E_idx, W[n_pos:],
+                compute_dtype=cdt, interpret=interpret_mode())
+        else:
+            from ..ops.rbf_edge import (EDGE_TILE, permute_rbf_weight,
+                                        _rbf_proj)
+            Xp_local = jnp.concatenate([X_aug[..., c] for c in range(3)], axis=-1)
+            Xp_global = jnp.concatenate([X_aug_g[..., c] for c in range(3)], axis=-1)
+            idx = E_idx.reshape(B, Ls * K)
+            Xj = jnp.take_along_axis(Xp_global, idx[..., None], axis=1)
+            Mj = jnp.take_along_axis(X_m_aug_g.astype(jnp.float32),
+                                     idx[..., None], axis=1)
+            Xi = jnp.repeat(Xp_local, K, axis=1)
+            Mi = jnp.repeat(X_m_aug.astype(jnp.float32), K, axis=1)
+            E_flat = B * Ls * K
+            Ep = -(-E_flat // EDGE_TILE) * EDGE_TILE
+
+            def pad(x):
+                x = x.reshape(E_flat, x.shape[-1])
+                return jnp.pad(x, ((0, Ep - E_flat), (0, 0))) if Ep != E_flat else x
+
+            sg = jax.lax.stop_gradient
+            E_rbf = _rbf_proj(sg(pad(Xi)), sg(pad(Xj)), sg(pad(Mi)), sg(pad(Mj)),
+                              permute_rbf_weight(W[n_pos:]).astype(jnp.float32),
+                              cdt, interpret_mode())[:E_flat].reshape(B, Ls, K, -1)
     else:
         Xg = _gather_global(X_aug_g.reshape(B, -1, A * 3), E_idx).reshape(B, Ls, K, A, 3)
         d = X_aug[:, :, None, :, None, :] - Xg[:, :, :, None, :, :]
@@ -135,7 +200,8 @@ def _features_local(p, cfg: ModelConfig, lb):
     return V, E, E_idx
 
 
-def _enc_layer_local(p, h_V, h_E, E_idx, mask, mask_attend):
+def _enc_layer_local(p, h_V, h_E, E_idx, mask, mask_attend, rate, key, rid,
+                     tag):
     """Encoder layer with all-gathered node features per message round."""
     H = h_V.shape[-1]
 
@@ -148,26 +214,58 @@ def _enc_layer_local(p, h_V, h_E, E_idx, mask, mask_attend):
 
     h_message = mask_attend[..., None] * edge_message(h_V, "W1", "W2", "W3")
     dh = jnp.sum(h_message, axis=-2) / 30.0
-    h_V = layer_norm(p["norm1"], h_V + dh)
-    h_V = layer_norm(p["norm2"], h_V + pff_apply(p["dense"], h_V))
+    h_V = layer_norm(p["norm1"], h_V + _row_dropout(dh, rate, key, tag, rid))
+    dh = pff_apply(p["dense"], h_V)
+    h_V = layer_norm(p["norm2"], h_V + _row_dropout(dh, rate, key, tag + 1, rid))
     h_V = mask[..., None] * h_V
 
     h_message = edge_message(h_V, "W11", "W12", "W13")
-    h_E = layer_norm(p["norm3"], h_E + h_message)
+    h_E = layer_norm(p["norm3"],
+                     h_E + _row_dropout(h_message, rate, key, tag + 2, rid))
     return h_V, h_E
 
 
-def _forward_local(params, cfg: ModelConfig, lb):
-    """Full (deterministic) forward for the shard's rows."""
+def _dec_layer_local(lp, h_V, h_E, E_idx, mask, mask_1d, mask_bw, mask_fw,
+                     h_S, h_V_enc, rate, key, rid, tag):
+    H = h_V.shape[-1]
+    (wa, wb, ws, wv), b1 = _split_w1(lp, H)
+    e_term = mask_1d * jnp.dot(h_E, wb)
+    s_term = mask_bw * _gather_global(_ag(jnp.dot(h_S, ws)), E_idx)
+    venc_term = mask_fw * _gather_global(_ag(jnp.dot(h_V_enc, wv)), E_idx)
+    x = (jnp.dot(h_V, wa)[:, :, None, :]
+         + mask_bw * _gather_global(_ag(jnp.dot(h_V, wv)), E_idx)
+         + e_term + s_term + venc_term + b1)
+    h_message = _message_tail(lp, x)
+    dh = jnp.sum(h_message, axis=-2) / 30.0
+    h_V = layer_norm(lp["norm1"], h_V + _row_dropout(dh, rate, key, tag, rid))
+    dh = pff_apply(lp["dense"], h_V)
+    h_V = layer_norm(lp["norm2"], h_V + _row_dropout(dh, rate, key, tag + 1, rid))
+    return mask[..., None] * h_V
+
+
+def _forward_local(params, cfg: ModelConfig, deterministic, lb, key):
+    """Full forward for the shard's rows; `key` carries the (replicated)
+    training RNG or None in deterministic mode."""
+    if deterministic:
+        key = None
     mask = lb["mask"].astype(jnp.float32)
-    V, E, E_idx = _features_local(params["features"], cfg, lb)
+    rid = lb["rid"]
+    rate = cfg.dropout if not deterministic else 0.0
+    V, E, E_idx = _features_local(params["features"], cfg, lb, key)
     h_V = linear(params["W_v"], V)
     h_E = linear(params["W_e"], E)
 
     mask_g = _ag(mask)
     mask_attend = mask[:, :, None] * _gather_global(mask_g[..., None], E_idx)[..., 0]
-    for lp in params["encoder"]:
-        h_V, h_E = _enc_layer_local(lp, h_V, h_E, E_idx, mask, mask_attend)
+
+    enc = _enc_layer_local
+    dec = _dec_layer_local
+    if not deterministic:
+        enc = jax.checkpoint(enc, static_argnums=(6, 9))
+        dec = jax.checkpoint(dec, static_argnums=(10, 13))
+    for i, lp in enumerate(params["encoder"]):
+        h_V, h_E = enc(lp, h_V, h_E, E_idx, mask, mask_attend, rate, key, rid,
+                       _TAG_ENC + 10 * i)
 
     # Decode-order causal masks: ranks are global; compare per local edge.
     rank_local = lb["decode_rank"]
@@ -179,35 +277,42 @@ def _forward_local(params, cfg: ModelConfig, lb):
     mask_fw = mask_1d * (1.0 - attend)
 
     h_S = params["W_s"]["emb"][lb["S"]]
-    H = h_V.shape[-1]
     h_V_enc = h_V
-    for lp in params["decoder"]:
-        (wa, wb, ws, wv), b1 = _split_w1(lp, H)
-        e_term = mask_1d * jnp.dot(h_E, wb)
-        s_term = mask_bw * _gather_global(_ag(jnp.dot(h_S, ws)), E_idx)
-        venc_term = mask_fw * _gather_global(_ag(jnp.dot(h_V_enc, wv)), E_idx)
-        x = (jnp.dot(h_V, wa)[:, :, None, :]
-             + mask_bw * _gather_global(_ag(jnp.dot(h_V, wv)), E_idx)
-             + e_term + s_term + venc_term + b1)
-        h_message = _message_tail(lp, x)
-        dh = jnp.sum(h_message, axis=-2) / 30.0
-        h_V = layer_norm(lp["norm1"], h_V + dh)
-        h_V = layer_norm(lp["norm2"], h_V + pff_apply(lp["dense"], h_V))
-        h_V = mask[..., None] * h_V
+    for i, lp in enumerate(params["decoder"]):
+        h_V = dec(lp, h_V, h_E, E_idx, mask, mask_1d, mask_bw, mask_fw, h_S,
+                  h_V_enc, rate, key, rid, _TAG_DEC + 10 * i)
 
     logits = linear(params["W_out"], h_V)
     return jax.nn.log_softmax(logits, axis=-1)
 
 
 def forward_graph_parallel(params, cfg: ModelConfig, batch, mesh: Mesh,
-                           decoding_order: Optional[jax.Array] = None):
+                           decoding_order: Optional[jax.Array] = None,
+                           key: Optional[jax.Array] = None,
+                           deterministic: bool = True):
     """Teacher-forced forward with L sharded over the mesh "graph" axis and
     B over "data". Returns log_probs [B, L, num_letters] with the same
-    sharding. Deterministic (eval) semantics — identical rows to
-    models.forward given the same decoding order."""
+    sharding.
+
+    Deterministic mode: identical rows to models.forward given the same
+    decoding order. Training mode (deterministic=False, key given): applies
+    per-polymer coordinate noise and dropout with partition-invariant per-row
+    streams, and draws the decoding order from `key` if none is given.
+    """
     B, L = batch["S"].shape
+    if key is not None:
+        key_order, key_layers = jax.random.split(key)
+    else:
+        key_order = key_layers = None
     if decoding_order is None:
-        decoding_order = jnp.tile(jnp.arange(L, dtype=jnp.int32)[None], (B, 1))
+        if deterministic or key is None:
+            decoding_order = jnp.tile(jnp.arange(L, dtype=jnp.int32)[None], (B, 1))
+        else:
+            from ..models.mpnn import sample_decoding_order
+            chain_M = batch["mask"].astype(jnp.float32)
+            if cfg.decode_protein_first:
+                chain_M = chain_M * (1.0 - batch["protein_mask"].astype(jnp.float32))
+            decoding_order = sample_decoding_order(key_order, chain_M)
     # Global decode rank, computed once (consistent across shards).
     rank = jnp.argsort(decoding_order, axis=-1).astype(jnp.int32)
 
@@ -215,16 +320,21 @@ def forward_graph_parallel(params, cfg: ModelConfig, batch, mesh: Mesh,
             "protein_mask", "dna_mask", "rna_mask", "R_polymer_type"]
     lb = {k: batch[k] for k in keys}
     lb["decode_rank"] = rank
+    # Global row ids: the per-row RNG stream identity (partition-invariant).
+    lb["rid"] = jnp.arange(B * L, dtype=jnp.int32).reshape(B, L)
 
     specs = {k: P("data", GRAPH_AXIS) for k in lb}
 
+    if key_layers is None:
+        key_layers = jax.random.PRNGKey(0)  # unused in deterministic mode
+
     fn = shard_map(
-        partial(_forward_local, params, cfg),
+        partial(_forward_local, params, cfg, deterministic or key is None),
         mesh=mesh,
-        in_specs=(specs,),
+        in_specs=(specs, P()),
         out_specs=P("data", GRAPH_AXIS),
         check_vma=False,
     )
     lb = {k: jax.device_put(v, NamedSharding(mesh, P("data", GRAPH_AXIS)))
           for k, v in lb.items()}
-    return fn(lb)
+    return fn(lb, key_layers)

@@ -84,11 +84,23 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
 
+        # Edge-partitioned (graph-parallel) training when the mesh carries a
+        # non-trivial "graph" axis: the train step runs the shard_map forward
+        # of parallel.graph_parallel with L sharded across it (SURVEY §2.3 —
+        # the SP/CP analog replacing the reference's spatial cropping).
+        self.graph_parallel = (mesh is not None
+                               and dict(mesh.shape).get("graph", 1) > 1)
+
         if mesh is not None:
-            # Replicate params/opt state, shard batches on the data axis.
+            # Replicate params/opt state, shard batches on the data axis
+            # (and the residue axis when graph-parallel).
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.param_sharding = NamedSharding(mesh, P())
-            self.batch_sharding = NamedSharding(mesh, P("data"))
+            if self.graph_parallel:
+                self.batch_sharding = NamedSharding(mesh, P("data", "graph"))
+            else:
+                self.batch_sharding = NamedSharding(mesh, P("data"))
+            self._batch_sharding_1d = NamedSharding(mesh, P("data"))
             self.params = jax.device_put(self.params, self.param_sharding)
             self.opt_state = jax.device_put(self.opt_state, self.param_sharding)
         else:
@@ -101,7 +113,14 @@ class Trainer:
     # -- loss ------------------------------------------------------------
 
     def _loss_fn(self, params, batch, key):
-        log_probs, _ = forward(params, self.cfg, batch, key=key, deterministic=False)
+        if self.graph_parallel:
+            from ..parallel.graph_parallel import forward_graph_parallel
+            log_probs = forward_graph_parallel(params, self.cfg, batch,
+                                               self.mesh, key=key,
+                                               deterministic=False)
+        else:
+            log_probs, _ = forward(params, self.cfg, batch, key=key,
+                                   deterministic=False)
         mfl = mask_for_loss(batch["S"], batch["mask"], self.na_shared_tokens)
         mfl = mfl.astype(jnp.float32)
         polymer_masks = {"protein": batch["protein_mask"],
@@ -164,6 +183,21 @@ class Trainer:
             self.params, self.opt_state, batch, key)
         self.step += 1
         return metrics
+
+    # -- profiling ---------------------------------------------------------
+
+    def profile_steps(self, np_batch, key, out_dir: str, n_steps: int = 3):
+        """Capture a jax.profiler trace of n_steps train steps into out_dir
+        (viewable with TensorBoard / Perfetto; SURVEY §5 tracing row — the
+        reference has only wall-clock prints, na_run.py:197,275)."""
+        import jax.profiler
+
+        self.train_step(np_batch, key)  # compile outside the trace
+        with jax.profiler.trace(out_dir):
+            for i in range(n_steps):
+                m = self.train_step(np_batch, jax.random.fold_in(key, i + 1))
+            jax.block_until_ready(m)
+        return out_dir
 
     def eval_step(self, np_batch):
         batch = self._device_batch(np_batch)
@@ -293,6 +327,10 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
 
     total_steps = steps_override or p["TOTAL_STEPS"]
     key = jax.random.PRNGKey(p.get("SEED", 0))
+    # Optional profiler capture of the first train batches (config key
+    # PROFILE_DIR or env NA_MPNN_PROFILE_DIR) — SURVEY §5 tracing.
+    profile_state = {"dir": p.get("PROFILE_DIR")
+                     or os.environ.get("NA_MPNN_PROFILE_DIR"), "done": False}
 
     epoch = epoch0
     while True:
@@ -318,6 +356,9 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
                     interface = {}
                 if split == "train":
                     key, sub = jax.random.split(key)
+                    if profile_state.get("dir") and not profile_state.get("done"):
+                        trainer.profile_steps(np_batch, sub, profile_state["dir"])
+                        profile_state["done"] = True
                     m = trainer.train_step(np_batch, sub)
                 else:
                     m = trainer.eval_step(np_batch)

@@ -78,3 +78,126 @@ def test_graph_parallel_gradients_match():
     for path, g in jax.tree.leaves_with_path(g_ref):
         np.testing.assert_allclose(np.asarray(flat_gp[path]), np.asarray(g),
                                    atol=5e-3, err_msg=str(path))
+
+
+def _make_batch(B, L, seed0):
+    batches = [make_synthetic_structure(L=L, seed=seed0 + i, n_protein=L // 2,
+                                        n_dna=L // 4)
+               for i in range(B)]
+    return {k: jnp.concatenate([jnp.asarray(b[k]) for b in batches], 0)
+            for k in batches[0]}
+
+
+def test_graph_parallel_gradients_match_float64():
+    """Deterministic grads vs the single-device forward at f64/1e-8 — the
+    partitioning changes nothing but the collective schedule."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        mesh = make_mesh(n_devices=4, graph_axis=2)
+        B, L = 2, 64
+        batch = _make_batch(B, L, 31)
+        batch = {k: (v.astype(jnp.float64) if v.dtype == jnp.float32 else v)
+                 for k, v in batch.items()}
+        order = jnp.tile(jnp.arange(L), (B, 1))
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64),
+                              init_params(jax.random.PRNGKey(2), CFG))
+
+        def loss_gp(p):
+            lp = forward_graph_parallel(p, CFG, batch, mesh, decoding_order=order)
+            return jnp.sum(lp * (jnp.arange(33) == 7))
+
+        def loss_ref(p):
+            lp, _ = forward(p, CFG, {**batch, "decoding_order": order})
+            return jnp.sum(lp * (jnp.arange(33) == 7))
+
+        g_gp = jax.grad(loss_gp)(params)
+        g_ref = jax.grad(loss_ref)(params)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-8, rtol=1e-8)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_graph_parallel_training_partition_invariant():
+    """Training mode (noise + dropout, random order): the per-row RNG streams
+    make loss and gradients independent of the graph-axis partitioning."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = ModelConfig(dropout=0.1, protein_augment_eps=0.1,
+                      dna_augment_eps=0.1, kernels="xla")
+    B, L = 2, 64
+    batch = _make_batch(B, L, 41)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    key = jax.random.PRNGKey(11)
+
+    def loss(mesh):
+        def f(p):
+            lp = forward_graph_parallel(p, cfg, batch, mesh, key=key,
+                                        deterministic=False)
+            mask = batch["mask"].astype(jnp.float32)
+            tgt = jax.nn.one_hot(batch["S"], 33)
+            return -jnp.sum(lp * tgt * mask[..., None])
+        return f
+
+    results = {}
+    for g in (1, 4):
+        mesh = make_mesh(n_devices=2 * g, graph_axis=g)
+        l, grads = jax.value_and_grad(loss(mesh))(params)
+        results[g] = (float(l), grads)
+
+    l1, g1 = results[1]
+    l4, g4 = results[4]
+    assert abs(l1 - l4) / abs(l1) < 1e-6, (l1, l4)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g4)):
+        # fp32: the collective reduction order differs between partitionings.
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_graph_parallel_pallas_kernels_interpret():
+    """Edge-partitioned forward on the Pallas kernel path (interpret mode):
+    kNN qk kernel + class-specialized RBF qk vs the single-device forward."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import na_mpnn_tpu.ops as ops
+    old = ops.INTERPRET
+    ops.INTERPRET = True
+    try:
+        cfg = ModelConfig(dropout=0.0, kernels="pallas")
+        mesh = make_mesh(n_devices=4, graph_axis=2)
+        B, L = 2, 64
+        batch = _make_batch(B, L, 61)
+        order = jnp.tile(jnp.arange(L), (B, 1))
+        params = init_params(jax.random.PRNGKey(3), cfg)
+        gp = forward_graph_parallel(params, cfg, batch, mesh,
+                                    decoding_order=order)
+        ref, _ = forward(params, ModelConfig(dropout=0.0, kernels="xla"),
+                         {**batch, "decoding_order": order})
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ref), atol=2e-4)
+    finally:
+        ops.INTERPRET = old
+
+
+def test_trainer_graph_parallel_step():
+    """Trainer with a (data=2, graph=4) mesh routes the train step through
+    the shard_map forward and produces finite loss/metrics."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from na_mpnn_tpu.parallel.mesh import shard_batch
+    from na_mpnn_tpu.train.trainer import Trainer
+    from __graft_entry__ import _synthetic_batch
+
+    mesh = make_mesh(n_devices=8, graph_axis=4)
+    cfg = ModelConfig(dropout=0.1, protein_augment_eps=0.1, kernels="xla")
+    trainer = Trainer(cfg, seed=0, mesh=mesh)
+    assert trainer.graph_parallel
+    np_batch = _synthetic_batch(B=2, L=64)
+    batch = shard_batch({k: v for k, v in np_batch.items()
+                         if hasattr(v, "ndim")}, mesh, shard_length=True)
+    m = trainer.train_step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss_av"]))
+    m2 = trainer.train_step(batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["loss_av"]))
