@@ -253,6 +253,21 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
         venc_term = mask_fw * gather_nodes(jnp.dot(h_V_enc, wv), E_idx)
         return wa, wv, b1, e_term + s_term + venc_term + b1
 
+    def edge_context(layer_params, h_V_cur):
+        """All three neighbor terms through ONE concatenated gather (the
+        three separate [B,L,K,H] gathers each pay the relay's per-op cost):
+        ctx = mask_bw*(gather(h_S@ws) + gather(h_V@wv)) + mask_fw*gather(h_Venc@wv).
+        Returns (wa, e_term, ctx)."""
+        (wa, wb, ws, wv), b1 = _split_w1(layer_params, H)
+        nodes3 = jnp.concatenate(
+            [jnp.dot(h_S, ws), jnp.dot(h_V_cur, wv), jnp.dot(h_V_enc, wv)],
+            axis=-1)
+        g = gather_nodes(nodes3, E_idx)
+        ctx = (mask_bw * (g[..., :H] + g[..., H:2 * H])
+               + mask_fw * g[..., 2 * H:])
+        e_term = mask_1d * jnp.dot(h_E, wb)
+        return wa, e_term, ctx
+
     def run_layer(layer_params, h_V, lkey):
         wa, wv, _, static = static_terms(layer_params)
         x = (jnp.dot(h_V, wa)[:, :, None, :]
@@ -275,11 +290,9 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
         from ..ops.fused_layers import dec_layer_fused
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         for layer_params in params["decoder"]:
-            _, wv, _, static = static_terms(layer_params)
-            # the kernel re-adds b1; keep it out of the static term here
-            static = static - layer_params["W1"]["b"]
-            G_v = mask_bw * gather_nodes(jnp.dot(h_V, wv), E_idx)
-            h_V = dec_layer_fused(layer_params, h_V, static, G_v, mask,
+            _, e_term, ctx = edge_context(layer_params, h_V)
+            # the kernel adds b1 itself; e_term rides the G slot
+            h_V = dec_layer_fused(layer_params, h_V, ctx, e_term, mask,
                                   compute_dtype=cdt, interpret=interpret_mode())
         return h_V
 
@@ -291,11 +304,9 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
         interp = interpret_mode()
 
         def run_layer_kernel(layer_params, h_V, lkey):
-            _, wv, _, static = static_terms(layer_params)
-            static = static - layer_params["W1"]["b"]  # kernel re-adds b1
-            G_v = mask_bw * gather_nodes(jnp.dot(h_V, wv), E_idx)
-            ones_att = jnp.ones(G_v.shape[:3], h_V.dtype)
-            dh = message_agg_batched(layer_params, h_V, static, G_v, ones_att,
+            _, e_term, ctx = edge_context(layer_params, h_V)
+            ones_att = jnp.ones(ctx.shape[:3], h_V.dtype)
+            dh = message_agg_batched(layer_params, h_V, ctx, e_term, ones_att,
                                      contract_e=False, compute_dtype=cdt,
                                      interpret=interp)
             if lkey is not None:
@@ -523,12 +534,13 @@ def sample(params, cfg: ModelConfig, batch, key, num_samples: int = 1,
 
         carry = {
             "h_V_stack": h_V_stack,
-            "h_S": carry["h_S"].at[b_idx, t].set(embed_tokens(params, S_t)),
+            "h_S": carry["h_S"].at[b_idx, t].set(
+                embed_tokens(params, S_t).astype(fdtype)),
             "S": carry["S"].at[b_idx, t].set(S_t),
             "all_probs": carry["all_probs"].at[b_idx, t].set(
-                chain_mask_t[:, None] * probs_sample),
+                (chain_mask_t[:, None] * probs_sample).astype(fdtype)),
             "all_log_probs": carry["all_log_probs"].at[b_idx, t].set(
-                chain_mask_t[:, None] * log_probs),
+                (chain_mask_t[:, None] * log_probs).astype(fdtype)),
         }
         return carry, None
 
@@ -685,7 +697,8 @@ def sample_tied(params, cfg: ModelConfig, batch, key, groups, group_weights,
             cm_t = chain_mask[b_idx, t_b]
             carry = {**carry, "all_log_probs": jnp.where(
                 valid,
-                carry["all_log_probs"].at[b_idx, t_b].set(cm_t[:, None] * log_probs),
+                carry["all_log_probs"].at[b_idx, t_b].set(
+                    (cm_t[:, None] * log_probs).astype(fdtype)),
                 carry["all_log_probs"])}
             total_logits = total_logits + jnp.where(valid, ws[m] * logits, 0.0)
             # Reference keeps the *last* t's bias for the group softmax.
@@ -708,14 +721,16 @@ def sample_tied(params, cfg: ModelConfig, batch, key, groups, group_weights,
             t_b = jnp.broadcast_to(t, (B,))
             cm_t = chain_mask[b_idx, t_b]
             all_probs = jnp.where(
-                valid, all_probs.at[b_idx, t_b].set(cm_t[:, None] * probs_sample),
+                valid, all_probs.at[b_idx, t_b].set(
+                    (cm_t[:, None] * probs_sample).astype(fdtype)),
                 all_probs)
             S_true_t = S_true[b_idx, t_b]
             # NOTE: S_t carries across tied positions, matching the reference's
             # in-loop reassignment (inference/model_utils.py:318-324).
             S_t = jnp.where(valid,
                             jnp.where(cm_t > 0, S_t, S_true_t).astype(jnp.int32), S_t)
-            h_S = jnp.where(valid, h_S.at[b_idx, t_b].set(embed_tokens(params, S_t)), h_S)
+            h_S = jnp.where(valid, h_S.at[b_idx, t_b].set(
+                embed_tokens(params, S_t).astype(fdtype)), h_S)
             S = jnp.where(valid, S.at[b_idx, t_b].set(S_t), S)
         carry = {**carry, "h_S": h_S, "S": S, "all_probs": all_probs}
         return carry, None
