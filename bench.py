@@ -38,8 +38,9 @@ B, L, K = 8, 768, 32  # ~6000-token training batch
 
 def _chain_timer(fn, args, n_iter, carry0=0.0):
     """Time fn(carry, *args) chained n_iter times + one readback; returns
-    seconds/iter. fn must fold `carry` into its computation and return a
-    scalar."""
+    best-of-two windows in seconds/iter (the relay occasionally serves
+    degraded windows under host contention). fn must fold `carry` into its
+    computation and return a scalar."""
     import jax
     import jax.numpy as jnp
 
@@ -47,11 +48,14 @@ def _chain_timer(fn, args, n_iter, carry0=0.0):
     carry = jnp.float32(carry0)
     carry = jit_fn(carry, *args)
     assert np.isfinite(float(carry))  # compile + force
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        carry = jit_fn(carry, *args)
-    assert np.isfinite(float(carry))
-    return (time.perf_counter() - t0) / n_iter
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            carry = jit_fn(carry, *args)
+        assert np.isfinite(float(carry))
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
 
 
 def bench_train_step(cfg, batch):

@@ -230,11 +230,14 @@ def _dec_layer_local(lp, h_V, h_E, E_idx, mask, mask_1d, mask_bw, mask_fw,
     H = h_V.shape[-1]
     (wa, wb, ws, wv), b1 = _split_w1(lp, H)
     e_term = mask_1d * jnp.dot(h_E, wb)
-    s_term = mask_bw * _gather_global(_ag(jnp.dot(h_S, ws)), E_idx)
-    venc_term = mask_fw * _gather_global(_ag(jnp.dot(h_V_enc, wv)), E_idx)
-    x = (jnp.dot(h_V, wa)[:, :, None, :]
-         + mask_bw * _gather_global(_ag(jnp.dot(h_V, wv)), E_idx)
-         + e_term + s_term + venc_term + b1)
+    # One all_gather + one neighbor gather for all three node terms
+    # (mirrors models.mpnn.edge_context; 3x fewer collectives per layer).
+    nodes3 = jnp.concatenate(
+        [jnp.dot(h_S, ws), jnp.dot(h_V, wv), jnp.dot(h_V_enc, wv)], axis=-1)
+    g = _gather_global(_ag(nodes3), E_idx)
+    ctx = (mask_bw * (g[..., :H] + g[..., H:2 * H])
+           + mask_fw * g[..., 2 * H:])
+    x = jnp.dot(h_V, wa)[:, :, None, :] + ctx + e_term + b1
     h_message = _message_tail(lp, x)
     dh = jnp.sum(h_message, axis=-2) / 30.0
     h_V = layer_norm(lp["norm1"], h_V + _row_dropout(dh, rate, key, tag, rid))
