@@ -394,7 +394,12 @@ def predict_nucleic_acid_ppm(structure_path, overall_output_directory,
         "prediction_method": method,
         "model_weights_path": na_mpnn_model_path,
     }
-    subject_path = os.path.join(output_directory, f"{structure_name}.json")
+    # Written under specificity_json/ — the directory layout the scoring
+    # array scripts glob (reference na_eval_utils.py:3428-3466,
+    # score_native_specificities.sh).
+    spec_json_dir = os.path.join(output_directory, "specificity_json")
+    os.makedirs(spec_json_dir, exist_ok=True)
+    subject_path = os.path.join(spec_json_dir, f"{structure_name}.json")
     write_json_file(subject_path, subject)
     return subject_path
 

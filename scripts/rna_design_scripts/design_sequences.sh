@@ -1,0 +1,21 @@
+#!/bin/bash
+# Design sequences for every structure in a CSV shard (role of reference
+# evaluation/rna_design_scripts/design_sequences.sh).
+# Usage: sbatch --array=0-N design_sequences.sh CSV OUTPUT_DIR METHOD \
+#        NUM_SAMPLES TEMPERATURE [NA_MPNN_MODEL_PATH]
+set -euo pipefail
+source "$(dirname "$0")/../_shard.sh"
+CSV=$1; OUTPUT_DIR=$2; METHOD=${3:-na_mpnn}; NUM_SAMPLES=${4:-10}
+TEMPERATURE=${5:-}; NA_MPNN_MODEL_PATH=${6:-}
+mapfile -t PATHS < <(csv_column "$CSV" structure_path)
+shard_range ${#PATHS[@]}
+for (( i=START_IDX; i<=END_IDX; i++ )); do
+    cmd=(python -m na_mpnn_tpu.eval.harness
+         --function_name design_nucleic_acid_sequence
+         --structure_path "${PATHS[i]}"
+         --overall_output_directory "$OUTPUT_DIR"
+         --num_samples "$NUM_SAMPLES" --method "$METHOD")
+    [[ -n "$TEMPERATURE" ]] && cmd+=(--temperature "$TEMPERATURE")
+    [[ -n "$NA_MPNN_MODEL_PATH" ]] && cmd+=(--na_mpnn_model_path "$NA_MPNN_MODEL_PATH")
+    "${cmd[@]}"
+done

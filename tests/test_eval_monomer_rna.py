@@ -289,3 +289,34 @@ def test_parse_design_fasta_header_mixed_delimiters():
     assert meta["seq_rec"] == "0.4321"
     assert meta["overall_confidence"] == "0.8123"
     assert meta["T"] == "0.1"
+
+
+def test_shard_helper_ranges():
+    """scripts/_shard.sh computes the same array chunking as the reference
+    scripts (reference design_sequences.sh:41-56)."""
+    import subprocess
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "_shard.sh")
+    out = subprocess.run(
+        ["bash", "-c",
+         f"source {script}; "
+         "SLURM_ARRAY_TASK_ID=2 SLURM_ARRAY_TASK_COUNT=4 shard_range 10; "
+         "echo $START_IDX $END_IDX; "
+         "unset SLURM_ARRAY_TASK_ID SLURM_ARRAY_TASK_COUNT; shard_range 7; "
+         "echo $START_IDX $END_IDX"],
+        capture_output=True, text=True, check=True)
+    lines = out.stdout.strip().splitlines()
+    assert lines[0] == "6 8"      # task 2 of 4 over 10 items (chunk=3)
+    assert lines[1] == "0 6"      # single-task fallback covers everything
+
+
+def test_csv_column_helper(tmp_path):
+    import subprocess
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "_shard.sh")
+    csv = tmp_path / "x.csv"
+    csv.write_text("structure_path,other\n/a.pdb,1\n/b.pdb,2\n")
+    out = subprocess.run(
+        ["bash", "-c", f"source {script}; csv_column {csv} structure_path"],
+        capture_output=True, text=True, check=True)
+    assert out.stdout.split() == ["/a.pdb", "/b.pdb"]
