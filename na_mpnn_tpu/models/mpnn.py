@@ -155,9 +155,13 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         # jax.checkpoint still wraps the whole layer: although the kernels'
         # VJP saves only layer inputs, the XLA tail (dropout masks, norms,
         # FFN, edge residual) would otherwise pin ~300MB/layer of residuals —
-        # measured 40x slower on-relay without the remat.
+        # measured 40x slower on-relay without the remat. The policy keeps
+        # the kernel OUTPUTS saved so the backward pass does not re-run the
+        # forward kernels (it only re-runs the cheap XLA tail).
+        policy = jax.checkpoint_policies.save_only_these_names("msg_kernel_out")
         for i, layer_params in enumerate(params["encoder"]):
-            h_V, h_E = jax.checkpoint(_enc_layer_train_fused, static_argnums=(5, 6))(
+            h_V, h_E = jax.checkpoint(_enc_layer_train_fused,
+                                      static_argnums=(5, 6), policy=policy)(
                 layer_params, h_V, h_E, mask_attend, layer_keys[i],
                 cfg.dropout, cdt, E_idx, mask)
         return h_V, h_E, E_idx
@@ -189,10 +193,14 @@ def _enc_layer_train_fused(p, h_V, h_E, mask_attend, key, rate, cdt, E_idx, mask
     H = h_V.shape[-1]
     deterministic = key is None
 
+    from jax.ad_checkpoint import checkpoint_name
+
     wc = p["W1"]["w"][2 * H:]
     G = gather_nodes(jnp.dot(h_V, wc), E_idx)
-    dh = message_agg_batched(p, h_V, h_E, G, mask_attend, contract_e=True,
-                             compute_dtype=cdt, interpret=interp)
+    dh = checkpoint_name(
+        message_agg_batched(p, h_V, h_E, G, mask_attend, contract_e=True,
+                            compute_dtype=cdt, interpret=interp),
+        "msg_kernel_out")
     h_V = layer_norm(p["norm1"], h_V + dropout(dh, rate, k1, deterministic))
     dh = pff_apply(p["dense"], h_V)
     h_V = layer_norm(p["norm2"], h_V + dropout(dh, rate, k2, deterministic))
@@ -200,8 +208,10 @@ def _enc_layer_train_fused(p, h_V, h_E, mask_attend, key, rate, cdt, E_idx, mask
 
     wc11 = p["W11"]["w"][2 * H:]
     G11 = gather_nodes(jnp.dot(h_V, wc11), E_idx)
-    m = message_edge_batched(p, h_V, h_E, G11, compute_dtype=cdt,
-                             interpret=interp)
+    m = checkpoint_name(
+        message_edge_batched(p, h_V, h_E, G11, compute_dtype=cdt,
+                             interpret=interp),
+        "msg_kernel_out")
     h_E = layer_norm(p["norm3"], h_E + dropout(m, rate, k3, deterministic))
     return h_V, h_E
 
@@ -303,12 +313,16 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         interp = interpret_mode()
 
+        from jax.ad_checkpoint import checkpoint_name
+
         def run_layer_kernel(layer_params, h_V, lkey):
             _, e_term, ctx = edge_context(layer_params, h_V)
             ones_att = jnp.ones(ctx.shape[:3], h_V.dtype)
-            dh = message_agg_batched(layer_params, h_V, ctx, e_term, ones_att,
-                                     contract_e=False, compute_dtype=cdt,
-                                     interpret=interp)
+            dh = checkpoint_name(
+                message_agg_batched(layer_params, h_V, ctx, e_term, ones_att,
+                                    contract_e=False, compute_dtype=cdt,
+                                    interpret=interp),
+                "msg_kernel_out")
             if lkey is not None:
                 k1, k2 = jax.random.split(lkey)
             else:
@@ -320,8 +334,10 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
                              h_V + dropout(dh, cfg.dropout, k2, deterministic))
             return mask[..., None] * h_V
 
+        policy = jax.checkpoint_policies.save_only_these_names("msg_kernel_out")
         for i, layer_params in enumerate(params["decoder"]):
-            h_V = jax.checkpoint(run_layer_kernel)(layer_params, h_V, layer_keys[i])
+            h_V = jax.checkpoint(run_layer_kernel, policy=policy)(
+                layer_params, h_V, layer_keys[i])
         return h_V
 
     for i, layer_params in enumerate(params["decoder"]):
