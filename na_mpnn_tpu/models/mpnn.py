@@ -141,14 +141,25 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
                                cfg.dropout, lkey, deterministic)
 
     if _use_fused_layers(cfg):
+        from ..ops.message_kernels import table_gather_ok
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        if deterministic:
+        B, L = mask.shape
+        if deterministic and not table_gather_ok(B, L):
             from ..ops import interpret_mode
             from ..ops.fused_layers import enc_layer_fused
             for layer_params in params["encoder"]:
                 h_V, h_E = enc_layer_fused(layer_params, h_V, h_E, E_idx, mask,
                                            mask_attend, compute_dtype=cdt,
                                            interpret=interpret_mode())
+            return h_V, h_E, E_idx
+        if deterministic:
+            # Same differentiable kernels, inference mode (key=None): the
+            # in-kernel neighbor gather beats the fully-fused path's XLA
+            # pre-gathers.
+            for layer_params in params["encoder"]:
+                h_V, h_E = _enc_layer_train_fused(
+                    layer_params, h_V, h_E, mask_attend, None, 0.0, cdt,
+                    E_idx, mask)
             return h_V, h_E, E_idx
         # Training: differentiable Pallas message kernels (custom VJP with
         # in-kernel rematerialization); dropout + norms/FFN stay in XLA.
@@ -194,24 +205,37 @@ def _enc_layer_train_fused(p, h_V, h_E, mask_attend, key, rate, cdt, E_idx, mask
     deterministic = key is None
 
     from jax.ad_checkpoint import checkpoint_name
+    from ..ops.message_kernels import (message_agg_table_batched,
+                                       message_edge_table_batched,
+                                       table_gather_ok)
 
+    B, L = mask.shape
+    use_table = table_gather_ok(B, L)
     wc = p["W1"]["w"][2 * H:]
-    G = gather_nodes(jnp.dot(h_V, wc), E_idx)
-    dh = checkpoint_name(
-        message_agg_batched(p, h_V, h_E, G, mask_attend, contract_e=True,
-                            compute_dtype=cdt, interpret=interp),
-        "msg_kernel_out")
+    if use_table:
+        dh = message_agg_table_batched(p, h_V, h_E, jnp.dot(h_V, wc), E_idx,
+                                       mask_attend, compute_dtype=cdt,
+                                       interpret=interp)
+    else:
+        G = gather_nodes(jnp.dot(h_V, wc), E_idx)
+        dh = message_agg_batched(p, h_V, h_E, G, mask_attend, contract_e=True,
+                                 compute_dtype=cdt, interpret=interp)
+    dh = checkpoint_name(dh, "msg_kernel_out")
     h_V = layer_norm(p["norm1"], h_V + dropout(dh, rate, k1, deterministic))
     dh = pff_apply(p["dense"], h_V)
     h_V = layer_norm(p["norm2"], h_V + dropout(dh, rate, k2, deterministic))
     h_V = mask[..., None] * h_V
 
     wc11 = p["W11"]["w"][2 * H:]
-    G11 = gather_nodes(jnp.dot(h_V, wc11), E_idx)
-    m = checkpoint_name(
-        message_edge_batched(p, h_V, h_E, G11, compute_dtype=cdt,
-                             interpret=interp),
-        "msg_kernel_out")
+    if use_table:
+        m = message_edge_table_batched(p, h_V, h_E, jnp.dot(h_V, wc11),
+                                       E_idx, compute_dtype=cdt,
+                                       interpret=interp)
+    else:
+        G11 = gather_nodes(jnp.dot(h_V, wc11), E_idx)
+        m = message_edge_batched(p, h_V, h_E, G11, compute_dtype=cdt,
+                                 interpret=interp)
+    m = checkpoint_name(m, "msg_kernel_out")
     h_E = layer_norm(p["norm3"], h_E + dropout(m, rate, k3, deterministic))
     return h_V, h_E
 
@@ -295,34 +319,41 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
                          h_V + dropout(dh, cfg.dropout, k2, deterministic))
         return mask[..., None] * h_V
 
-    if deterministic and _use_fused_layers(cfg):
+    if _use_fused_layers(cfg):
+        from jax.ad_checkpoint import checkpoint_name
         from ..ops import interpret_mode
-        from ..ops.fused_layers import dec_layer_fused
-        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        for layer_params in params["decoder"]:
-            _, e_term, ctx = edge_context(layer_params, h_V)
-            # the kernel adds b1 itself; e_term rides the G slot
-            h_V = dec_layer_fused(layer_params, h_V, ctx, e_term, mask,
-                                  compute_dtype=cdt, interpret=interpret_mode())
-        return h_V
-
-    if not deterministic and _use_fused_layers(cfg):
-        # Training on the differentiable Pallas message kernels.
-        from ..ops import interpret_mode
-        from ..ops.message_kernels import message_agg_batched
+        from ..ops.message_kernels import (message_agg_batched,
+                                           message_dec_table_batched,
+                                           table_gather_ok)
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         interp = interpret_mode()
+        use_table = table_gather_ok(*mask.shape)
 
-        from jax.ad_checkpoint import checkpoint_name
+        if deterministic and not use_table:
+            from ..ops.fused_layers import dec_layer_fused
+            for layer_params in params["decoder"]:
+                _, e_term, ctx = edge_context(layer_params, h_V)
+                # the kernel adds b1 itself; e_term rides the G slot
+                h_V = dec_layer_fused(layer_params, h_V, ctx, e_term, mask,
+                                      compute_dtype=cdt, interpret=interp)
+            return h_V
 
         def run_layer_kernel(layer_params, h_V, lkey):
-            _, e_term, ctx = edge_context(layer_params, h_V)
-            ones_att = jnp.ones(ctx.shape[:3], h_V.dtype)
-            dh = checkpoint_name(
-                message_agg_batched(layer_params, h_V, ctx, e_term, ones_att,
-                                    contract_e=False, compute_dtype=cdt,
-                                    interpret=interp),
-                "msg_kernel_out")
+            if use_table:
+                (_, _, ws, wv), _ = _split_w1(layer_params, H)
+                nodes3 = jnp.concatenate(
+                    [jnp.dot(h_S, ws), jnp.dot(h_V, wv),
+                     jnp.dot(h_V_enc, wv)], axis=-1)
+                dh = message_dec_table_batched(
+                    layer_params, h_V, h_E, nodes3, E_idx, mask, mask_bw,
+                    mask_fw, compute_dtype=cdt, interpret=interp)
+            else:
+                _, e_term, ctx = edge_context(layer_params, h_V)
+                ones_att = jnp.ones(ctx.shape[:3], h_V.dtype)
+                dh = message_agg_batched(layer_params, h_V, ctx, e_term,
+                                         ones_att, contract_e=False,
+                                         compute_dtype=cdt, interpret=interp)
+            dh = checkpoint_name(dh, "msg_kernel_out")
             if lkey is not None:
                 k1, k2 = jax.random.split(lkey)
             else:
@@ -333,6 +364,11 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
             h_V = layer_norm(layer_params["norm2"],
                              h_V + dropout(dh, cfg.dropout, k2, deterministic))
             return mask[..., None] * h_V
+
+        if deterministic:
+            for layer_params in params["decoder"]:
+                h_V = run_layer_kernel(layer_params, h_V, None)
+            return h_V
 
         policy = jax.checkpoint_policies.save_only_these_names("msg_kernel_out")
         for i, layer_params in enumerate(params["decoder"]):

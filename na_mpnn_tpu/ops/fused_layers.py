@@ -120,7 +120,7 @@ def _row(x):
     return jnp.asarray(x)[None, :]
 
 
-def _grid_specs_node(T, K, H, Hff, has_static):
+def _grid_specs_node(T, K, H, Hff):
     def tile2(r, c, imap):
         return pl.BlockSpec((r, c), imap, memory_space=pltpu.VMEM)
     edge_map = lambda i: (i, 0)
@@ -159,7 +159,7 @@ def fused_node_update(h_V, h_E_flat, G_flat, static_or_wb, mask_att_flat,
     T = NODE_TILE
     assert N % T == 0, (N, T)
     Hff = p["dense"]["W_in"]["w"].shape[1]
-    in_specs, out_spec = _grid_specs_node(T, K, H, Hff, has_static)
+    in_specs, out_spec = _grid_specs_node(T, K, H, Hff)
     kernel = functools.partial(_node_update_kernel, K=K,
                                compute_dtype=compute_dtype,
                                has_static=has_static)

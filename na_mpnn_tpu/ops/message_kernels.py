@@ -266,6 +266,298 @@ message_mlp.defvjp(_message_mlp_fwd, _message_mlp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Table-gather variants: the neighbor term is gathered INSIDE the kernel from
+# a VMEM-resident per-structure node table (L rows x C cols), via an exact
+# 0/1 one-hot matmul built from E_idx. Each output element selects exactly
+# one table row, so even a single-pass bf16 dot is exact. This removes the
+# [B,L,K,C] pre-gathered tensors (and their HBM round-trips + XLA gather
+# dispatches) from every layer. Requires L % NODE_TILE == 0 so a node tile
+# never straddles two structures (callers fall back to the pre-gather path
+# otherwise — bucketed training shapes always qualify).
+# ---------------------------------------------------------------------------
+
+
+def _onehot_rows(eidx, L, transpose=False):
+    """0/1 selection matrix from per-edge neighbor indices eidx [T*K, 1]:
+    [T*K, L] (or its transpose) with row k one-hot at column eidx[k]."""
+    TK = eidx.shape[0]
+    if transpose:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (L, TK), 0)
+        return (rows == eidx[:, 0][None, :]).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TK, L), 1)
+    return (cols == eidx).astype(jnp.float32)
+
+
+def _sel(onehot, table, compute_dtype):
+    # Exact selection even at bf16: one nonzero product per output element.
+    return jnp.dot(onehot.astype(compute_dtype), table.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
+                      mbw_ref, mfw_ref, wa_ref, wb_ref, b1_ref, w2_ref,
+                      b2_ref, w3_ref, b3_ref, out_ref, *, K, compute_dtype,
+                      dec_mode, aggregate):
+    """Fused message MLP with the in-kernel neighbor gather.
+
+    enc mode (dec_mode=False): x = rep@(h_V@wa) + e_in@wb + sel(table) + b1
+    dec mode: x = rep@(h_V@wa) + m1d*(e_in@wb) + ctx + b1 where the table has
+    3H cols and ctx = mbw*(sel0+sel1) + mfw*sel2 (models.mpnn.edge_context
+    semantics); m1d rides mask_att_ref."""
+    T = h_V_ref.shape[0]
+    H = h_V_ref.shape[1]
+    rep, seg = _rep_seg_matrices(T, K)
+    L = table_ref.shape[0]
+
+    a_i = _dotp(h_V_ref[:], wa_ref[:], compute_dtype)
+    x = jnp.dot(rep, a_i, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b1_ref[:]
+    onehot = _onehot_rows(eidx_ref[:], L)
+    g = _sel(onehot, table_ref[:], compute_dtype)
+    if dec_mode:
+        ctx = (mbw_ref[:] * (g[:, :H] + g[:, H:2 * H])
+               + mfw_ref[:] * g[:, 2 * H:])
+        x = x + ctx + mask_att_ref[:] * _dotp(e_in_ref[:], wb_ref[:],
+                                              compute_dtype)
+    else:
+        x = x + g + _dotp(e_in_ref[:], wb_ref[:], compute_dtype)
+
+    m = _dotp(_gelu(x), w2_ref[:], compute_dtype) + b2_ref[:]
+    m = _dotp(_gelu(m), w3_ref[:], compute_dtype) + b3_ref[:]
+    if aggregate:
+        if not dec_mode:
+            m = m * mask_att_ref[:]
+        out_ref[:] = (jnp.dot(seg, m, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                      / MESSAGE_SCALE).astype(out_ref.dtype)
+    else:
+        out_ref[:] = m.astype(out_ref.dtype)
+
+
+def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
+                      mbw_ref, mfw_ref, wa_ref, wb_ref, b1_ref, w2_ref,
+                      b2_ref, w3_ref, b3_ref, g_ref,
+                      g_hV_ref, g_ein_ref, g_tab_ref, dwa_ref, dwb_ref,
+                      db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref, *, K,
+                      compute_dtype, dec_mode, aggregate):
+    T = h_V_ref.shape[0]
+    H = h_V_ref.shape[1]
+    rep, seg = _rep_seg_matrices(T, K)
+    L = table_ref.shape[0]
+    h_V = h_V_ref[:]
+    e_in = e_in_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in (dwa_ref, dwb_ref, db1_ref, dw2_ref, db2_ref, dw3_ref,
+                  db3_ref):
+            r[:] = jnp.zeros_like(r)
+
+    # The table-grad block accumulates across the tiles of one structure;
+    # zero it when a new structure's block is first mapped in.
+    @pl.when((pl.program_id(0) * T) % L == 0)
+    def _():
+        g_tab_ref[:] = jnp.zeros_like(g_tab_ref)
+
+    # Recompute the tile's activations.
+    onehot = _onehot_rows(eidx_ref[:], L)
+    g_sel = _sel(onehot, table_ref[:], compute_dtype)
+    a_i = _dotp(h_V, wa_ref[:], compute_dtype)
+    x = jnp.dot(rep, a_i, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b1_ref[:]
+    if dec_mode:
+        ctx = (mbw_ref[:] * (g_sel[:, :H] + g_sel[:, H:2 * H])
+               + mfw_ref[:] * g_sel[:, 2 * H:])
+        x = x + ctx + mask_att_ref[:] * _dotp(e_in, wb_ref[:], compute_dtype)
+    else:
+        x = x + g_sel + _dotp(e_in, wb_ref[:], compute_dtype)
+    u1 = _gelu(x)
+    y = _dotp(u1, w2_ref[:], compute_dtype) + b2_ref[:]
+    u2 = _gelu(y)
+
+    if aggregate:
+        g_m = jnp.dot(rep, g_ref[:].astype(jnp.float32),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        if not dec_mode:
+            g_m = g_m * mask_att_ref[:]
+        g_m = g_m / MESSAGE_SCALE
+    else:
+        g_m = g_ref[:].astype(jnp.float32)
+
+    def dotT_acc(a, b):
+        return jax.lax.dot_general(
+            a.astype(compute_dtype), b.astype(compute_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(compute_dtype))
+
+    def dotB(a, w):
+        return jax.lax.dot_general(
+            a.astype(compute_dtype), w.astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(compute_dtype))
+
+    dw3_ref[:] += dotT_acc(u2, g_m)
+    db3_ref[:] += jnp.sum(g_m, axis=0, keepdims=True)
+    g_y = dotB(g_m, w3_ref[:]) * _gelu_grad(y)
+    dw2_ref[:] += dotT_acc(u1, g_y)
+    db2_ref[:] += jnp.sum(g_y, axis=0, keepdims=True)
+    g_x = dotB(g_y, w2_ref[:]) * _gelu_grad(x)
+    db1_ref[:] += jnp.sum(g_x, axis=0, keepdims=True)
+
+    onehotT = _onehot_rows(eidx_ref[:], L, transpose=True)
+    if dec_mode:
+        g_e_contrib = mask_att_ref[:] * g_x
+        g_tab = jnp.concatenate(
+            [mbw_ref[:] * g_x, mbw_ref[:] * g_x, mfw_ref[:] * g_x], axis=1)
+    else:
+        g_e_contrib = g_x
+        g_tab = g_x
+    g_tab_ref[:] += _sel(onehotT, g_tab, compute_dtype)
+    g_ein_ref[:] = dotB(g_e_contrib, wb_ref[:]).astype(g_ein_ref.dtype)
+    dwb_ref[:] += dotT_acc(e_in, g_e_contrib)
+
+    s = jnp.dot(seg, g_x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    g_hV_ref[:] = dotB(s, wa_ref[:]).astype(g_hV_ref.dtype)
+    dwa_ref[:] += dotT_acc(h_V, s)
+
+
+def _table_specs(T, K, H, L, C_tab, aggregate, for_bwd):
+    node = pl.BlockSpec((T, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    edge = pl.BlockSpec((T * K, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    edge1 = pl.BlockSpec((T * K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    table = pl.BlockSpec((L, C_tab), lambda i: ((i * T) // L, 0),
+                         memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((H, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [node, edge, table, edge1, edge1, edge1, edge1,
+                mat, mat, row, mat, row, mat, row]
+    if for_bwd:
+        in_specs = in_specs + [node if aggregate else edge]
+        out_specs = [node, edge, table, mat, mat, row, mat, row, mat, row]
+        return in_specs, out_specs
+    return in_specs, (node if aggregate else edge)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "L", "compute_dtype",
+                                             "dec_mode", "aggregate",
+                                             "interpret"))
+def _message_table_fwd_call(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+                            wa, wb, b1, w2, b2, w3, b3,
+                            K, L, compute_dtype, dec_mode, aggregate,
+                            interpret):
+    N, H = h_V.shape
+    T = NODE_TILE
+    assert N % T == 0 and L % T == 0 and N % L == 0, (N, T, L)
+    C_tab = table.shape[1]
+    in_specs, out_spec = _table_specs(T, K, H, L, C_tab, aggregate,
+                                      for_bwd=False)
+    kernel = functools.partial(_fwd_kernel_table, K=K,
+                               compute_dtype=compute_dtype,
+                               dec_mode=dec_mode, aggregate=aggregate)
+    out_shape = jax.ShapeDtypeStruct((N, H) if aggregate else (N * K, H),
+                                     h_V.dtype)
+    return pl.pallas_call(
+        kernel, grid=(N // T,), in_specs=in_specs, out_specs=out_spec,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K * H * (3 * H + L),
+            bytes_accessed=(N * K * H * 2 + N * H * 2) * 4,
+            transcendentals=N * K * H * 2,
+        ),
+        interpret=interpret,
+    )(h_V, e_in, table, eidx, mask_att, mbw, mfw, wa, wb, b1, w2, b2, w3, b3)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "L", "compute_dtype",
+                                             "dec_mode", "aggregate",
+                                             "interpret"))
+def _message_table_bwd_call(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+                            wa, wb, b1, w2, b2, w3, b3, g,
+                            K, L, compute_dtype, dec_mode, aggregate,
+                            interpret):
+    N, H = h_V.shape
+    T = NODE_TILE
+    C_tab = table.shape[1]
+    in_specs, out_specs = _table_specs(T, K, H, L, C_tab, aggregate,
+                                       for_bwd=True)
+    kernel = functools.partial(_bwd_kernel_table, K=K,
+                               compute_dtype=compute_dtype,
+                               dec_mode=dec_mode, aggregate=aggregate)
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct((N, H), h_V.dtype),       # g_hV
+        jax.ShapeDtypeStruct((N * K, H), e_in.dtype),  # g_ein
+        jax.ShapeDtypeStruct(table.shape, f32),        # g_table
+        jax.ShapeDtypeStruct((H, H), f32),             # dwa
+        jax.ShapeDtypeStruct((H, H), f32),             # dwb
+        jax.ShapeDtypeStruct((1, H), f32),             # db1
+        jax.ShapeDtypeStruct((H, H), f32),             # dw2
+        jax.ShapeDtypeStruct((1, H), f32),             # db2
+        jax.ShapeDtypeStruct((H, H), f32),             # dw3
+        jax.ShapeDtypeStruct((1, H), f32),             # db3
+    ]
+    return pl.pallas_call(
+        kernel, grid=(N // T,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * N * K * H * (3 * H + L),
+            bytes_accessed=(N * K * H * 4 + N * H * 4) * 4,
+            transcendentals=N * K * H * 4,
+        ),
+        interpret=interpret,
+    )(h_V, e_in, table, eidx, mask_att, mbw, mfw, wa, wb, b1, w2, b2, w3, b3,
+      g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19))
+def message_mlp_table(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+                      wa, wb, b1, w2, b2, w3, b3,
+                      K, L, compute_dtype, dec_mode, aggregate, interpret):
+    """Fused message MLP with in-kernel neighbor gather (see module notes).
+    eidx/mask_att/mbw/mfw are structural (zero cotangents); table/e_in/h_V
+    and all weights are differentiable."""
+    return _message_table_fwd_call(h_V, e_in, table, eidx, mask_att, mbw,
+                                   mfw, wa, wb, b1, w2, b2, w3, b3,
+                                   K, L, compute_dtype, dec_mode, aggregate,
+                                   interpret)
+
+
+def _message_mlp_table_fwd(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+                           wa, wb, b1, w2, b2, w3, b3,
+                           K, L, compute_dtype, dec_mode, aggregate,
+                           interpret):
+    out = message_mlp_table(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+                            wa, wb, b1, w2, b2, w3, b3,
+                            K, L, compute_dtype, dec_mode, aggregate,
+                            interpret)
+    return out, (h_V, e_in, table, eidx, mask_att, mbw, mfw,
+                 wa, wb, b1, w2, b2, w3, b3)
+
+
+def _message_mlp_table_bwd(K, L, compute_dtype, dec_mode, aggregate,
+                           interpret, res, g):
+    (h_V, e_in, table, eidx, mask_att, mbw, mfw,
+     wa, wb, b1, w2, b2, w3, b3) = res
+    (g_hV, g_ein, g_tab, dwa, dwb, db1, dw2, db2, dw3, db3) = \
+        _message_table_bwd_call(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+                                wa, wb, b1, w2, b2, w3, b3, g,
+                                K, L, compute_dtype, dec_mode, aggregate,
+                                interpret)
+    return (g_hV, g_ein, g_tab.astype(table.dtype), jnp.zeros_like(eidx),
+            jnp.zeros_like(mask_att), jnp.zeros_like(mbw),
+            jnp.zeros_like(mfw), dwa.astype(wa.dtype), dwb.astype(wb.dtype),
+            db1.astype(b1.dtype), dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            dw3.astype(w3.dtype), db3.astype(b3.dtype))
+
+
+message_mlp_table.defvjp(_message_mlp_table_fwd, _message_mlp_table_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Layer-level wrappers (differentiable; used by training AND inference paths)
 # ---------------------------------------------------------------------------
 
@@ -323,3 +615,78 @@ def message_edge_batched(p, h_V, h_E, G, *, compute_dtype=jnp.float32,
         p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
         K, compute_dtype, True, False, interpret)
     return m[:N * K].reshape(B, L, K, H)
+
+
+def table_gather_ok(B, L):
+    """In-kernel gather requires node tiles that never straddle structures."""
+    return L % NODE_TILE == 0
+
+
+def _flat_eidx(E_idx):
+    B, L, K = E_idx.shape
+    return E_idx.astype(jnp.int32).reshape(B * L * K, 1)
+
+
+def message_agg_table_batched(p, h_V, h_E, table, E_idx, mask_att, *,
+                              compute_dtype=jnp.float32, w1="W1", w2="W2",
+                              w3="W3", interpret=False):
+    """Encoder node update with the neighbor term gathered in-kernel:
+    table [B, L, H] = h_V @ wc (node-level). -> dh [B, L, H]."""
+    B, L, K, H = h_E.shape
+    N = B * L
+    assert table_gather_ok(B, L), (B, L)
+    wsplit = p[w1]["w"]
+    z1 = jnp.zeros((N * K, 1), h_V.dtype)
+    dh = message_mlp_table(
+        _flat_nodes(h_V, N), _flat_edges(h_E, N),
+        table.reshape(N, H), _flat_eidx(E_idx),
+        _flat_edges(mask_att[..., None], N).astype(h_V.dtype), z1, z1,
+        wsplit[:H], wsplit[H:2 * H], p[w1]["b"][None, :],
+        p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
+        K, L, compute_dtype, False, True, interpret)
+    return dh.reshape(B, L, H)
+
+
+def message_edge_table_batched(p, h_V, h_E, table, E_idx, *,
+                               compute_dtype=jnp.float32, w1="W11", w2="W12",
+                               w3="W13", interpret=False):
+    """Encoder edge update with in-kernel gather: -> m [B,L,K,H]."""
+    B, L, K, H = h_E.shape
+    N = B * L
+    assert table_gather_ok(B, L), (B, L)
+    wsplit = p[w1]["w"]
+    ones1 = jnp.ones((N * K, 1), h_V.dtype)
+    m = message_mlp_table(
+        _flat_nodes(h_V, N), _flat_edges(h_E, N),
+        table.reshape(N, H), _flat_eidx(E_idx), ones1, ones1, ones1,
+        wsplit[:H], wsplit[H:2 * H], p[w1]["b"][None, :],
+        p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
+        K, L, compute_dtype, False, False, interpret)
+    return m[:N * K].reshape(B, L, K, H)
+
+
+def message_dec_table_batched(p, h_V, h_E, table3, E_idx, mask, mask_bw,
+                              mask_fw, *, compute_dtype=jnp.float32,
+                              interpret=False):
+    """Parallel-decode node update with the three neighbor terms gathered
+    in-kernel: table3 [B, L, 3H] = concat(h_S@ws, h_V@wv, h_Venc@wv);
+    x = rep@(h_V@wa) + mask_1d*(h_E@wb) + mask_bw*(sel0+sel1) + mask_fw*sel2
+    + b1 (models.mpnn.edge_context semantics). -> dh [B, L, H]."""
+    B, L, K, H = h_E.shape
+    N = B * L
+    assert table_gather_ok(B, L), (B, L)
+    wsplit = p["W1"]["w"]
+
+    def edge1(x):  # [B,L,K] -> [N*K, 1]
+        return x.reshape(N * K, 1).astype(h_V.dtype)
+
+    m1d = jnp.broadcast_to(mask[:, :, None], (B, L, K))
+    dh = message_mlp_table(
+        _flat_nodes(h_V, N), _flat_edges(h_E, N),
+        table3.reshape(N, 3 * H), _flat_eidx(E_idx),
+        edge1(m1d), edge1(mask_bw[..., 0]), edge1(mask_fw[..., 0]),
+        wsplit[:H], wsplit[H:2 * H], p["W1"]["b"][None, :],
+        p["W2"]["w"], p["W2"]["b"][None, :], p["W3"]["w"],
+        p["W3"]["b"][None, :],
+        K, L, compute_dtype, True, True, interpret)
+    return dh.reshape(B, L, H)

@@ -305,14 +305,6 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def classify_nodes(M_nodes):
-    """Per-node side code from the atom masks: 0 = protein-block only (or
-    empty), 1 = nucleic-block only, 2 = both (mixed)."""
-    has_p = jnp.max(M_nodes[:, jnp.asarray(P_SEL)], axis=1) > 0
-    has_n = jnp.max(M_nodes[:, jnp.asarray(N_SEL)], axis=1) > 0
-    return jnp.where(has_n, jnp.where(has_p, 2, 1), 0).astype(jnp.int32)
-
-
 def rbf_edge_features_classed_qk(X_aug_q, X_m_q, X_aug_k, X_m_k, E_idx, W,
                                  compute_dtype=jnp.float32, interpret=False):
     """Query/key variant for the edge-partitioned forward: local query rows

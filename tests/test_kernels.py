@@ -96,10 +96,24 @@ def test_fused_enc_layer_matches_reference():
     np.testing.assert_allclose(np.asarray(out_E), np.asarray(ref_E), atol=2e-5)
 
 
+def _forward_pallas_interpret(batch, order, params, L):
+    import dataclasses
+    import na_mpnn_tpu.ops as ops
+    from na_mpnn_tpu.models import forward
+
+    old = ops.INTERPRET
+    ops.INTERPRET = True
+    try:
+        cfg = dataclasses.replace(CFG, kernels="pallas")
+        lp, _ = forward(params, cfg, {**batch, "decoding_order": order})
+    finally:
+        ops.INTERPRET = old
+    return lp
+
+
 def test_fused_forward_full_model_interpret():
-    """Full forward with fused layers (interpret mode) vs the XLA path."""
-    import na_mpnn_tpu.models.mpnn as mpnn_mod
-    import na_mpnn_tpu.ops.fused_layers as fl
+    """Full deterministic forward on the Pallas kernel path (interpret mode,
+    L % 16 == 0 -> in-kernel table gathers) vs the XLA path."""
     from na_mpnn_tpu.models import forward
 
     batch, _, _, _ = _geom(L=48)
@@ -107,19 +121,21 @@ def test_fused_forward_full_model_interpret():
     order = jnp.tile(jnp.arange(L)[None], (2, 1))
     params = init_params(jax.random.PRNGKey(6), CFG)
     ref_lp, _ = forward(params, CFG, {**batch, "decoding_order": order})
+    fused_lp = _forward_pallas_interpret(batch, order, params, L)
+    np.testing.assert_allclose(np.asarray(fused_lp), np.asarray(ref_lp),
+                               atol=5e-4)
 
-    # force the fused path with interpreted kernels on CPU
-    orig_use = mpnn_mod._use_fused_layers
-    orig_enc = fl.enc_layer_fused
-    orig_dec = fl.dec_layer_fused
-    try:
-        mpnn_mod._use_fused_layers = lambda cfg: True
-        fl.enc_layer_fused = lambda *a, **k: orig_enc(*a, **{**k, "interpret": True})
-        fl.dec_layer_fused = lambda *a, **k: orig_dec(*a, **{**k, "interpret": True})
-        fused_lp, _ = forward(params, CFG, {**batch, "decoding_order": order})
-    finally:
-        mpnn_mod._use_fused_layers = orig_use
-        fl.enc_layer_fused = orig_enc
-        fl.dec_layer_fused = orig_dec
+
+def test_fused_forward_fallback_path_interpret():
+    """L % 16 != 0 falls back to the pre-gathered fused kernels — same
+    result as the XLA path."""
+    from na_mpnn_tpu.models import forward
+
+    batch, _, _, _ = _geom(L=40)
+    L = 40
+    order = jnp.tile(jnp.arange(L)[None], (2, 1))
+    params = init_params(jax.random.PRNGKey(8), CFG)
+    ref_lp, _ = forward(params, CFG, {**batch, "decoding_order": order})
+    fused_lp = _forward_pallas_interpret(batch, order, params, L)
     np.testing.assert_allclose(np.asarray(fused_lp), np.asarray(ref_lp),
                                atol=5e-4)
