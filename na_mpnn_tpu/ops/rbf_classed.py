@@ -36,6 +36,17 @@ already zero the dropped pairs in the dense formulation).
 
 Differentiable w.r.t. the projection weights only (coordinates and masks are
 structural data with zero cotangents, matching ops.rbf_edge).
+
+Negative result (measured, do not re-attempt): building the per-edge
+coordinate/mask operands *inside* the kernel from VMEM-resident node tables
+via one-hot selection matmuls (the design that wins in ops.message_kernels)
+LOSES here — 10.1 ms vs 6.1 ms for the dense-operand path at B=8, L=768,
+K=32, same process, interleaved (scripts/ab_rbf_table.py). The selected
+operand is only 4A=72+18 columns wide, so the [TILE, L] @ [L, 4A] selection
+matmuls (~27 GFLOP/fwd, fp32-HIGHEST because the table holds raw
+coordinates) cost far more than the ~70 MB HBM gather they replace. The
+message kernels win the same trade because their tables are H/3H columns
+wide, already bf16, and each tile's message MLP dwarfs the selection.
 """
 from __future__ import annotations
 
