@@ -246,14 +246,11 @@ def _dec_layer_local(lp, h_V, h_E, E_idx, mask, mask_1d, mask_bw, mask_fw,
     return mask[..., None] * h_V
 
 
-def _forward_local(params, cfg: ModelConfig, deterministic, lb, key):
-    """Full forward for the shard's rows; `key` carries the (replicated)
-    training RNG or None in deterministic mode."""
-    if deterministic:
-        key = None
+def _encode_local(params, cfg: ModelConfig, lb, key, rate):
+    """Features + encoder stack on the shard's rows -> (h_V, h_E, E_idx,
+    mask). `key` is None for deterministic (inference) encode."""
     mask = lb["mask"].astype(jnp.float32)
     rid = lb["rid"]
-    rate = cfg.dropout if not deterministic else 0.0
     V, E, E_idx = _features_local(params["features"], cfg, lb, key)
     h_V = linear(params["W_v"], V)
     h_E = linear(params["W_e"], E)
@@ -262,13 +259,26 @@ def _forward_local(params, cfg: ModelConfig, deterministic, lb, key):
     mask_attend = mask[:, :, None] * _gather_global(mask_g[..., None], E_idx)[..., 0]
 
     enc = _enc_layer_local
-    dec = _dec_layer_local
-    if not deterministic:
+    if key is not None:
         enc = jax.checkpoint(enc, static_argnums=(6, 9))
-        dec = jax.checkpoint(dec, static_argnums=(10, 13))
     for i, lp in enumerate(params["encoder"]):
         h_V, h_E = enc(lp, h_V, h_E, E_idx, mask, mask_attend, rate, key, rid,
                        _TAG_ENC + 10 * i)
+    return h_V, h_E, E_idx, mask
+
+
+def _forward_local(params, cfg: ModelConfig, deterministic, lb, key):
+    """Full forward for the shard's rows; `key` carries the (replicated)
+    training RNG or None in deterministic mode."""
+    if deterministic:
+        key = None
+    rid = lb["rid"]
+    rate = cfg.dropout if not deterministic else 0.0
+    h_V, h_E, E_idx, mask = _encode_local(params, cfg, lb, key, rate)
+
+    dec = _dec_layer_local
+    if not deterministic:
+        dec = jax.checkpoint(dec, static_argnums=(10, 13))
 
     # Decode-order causal masks: ranks are global; compare per local edge.
     rank_local = lb["decode_rank"]
@@ -341,3 +351,199 @@ def forward_graph_parallel(params, cfg: ModelConfig, batch, mesh: Mesh,
     lb = {k: jax.device_put(v, NamedSharding(mesh, P("data", GRAPH_AXIS)))
           for k, v in lb.items()}
     return fn(lb, key_layers)
+
+
+# ---------------------------------------------------------------------------
+# Edge-partitioned autoregressive sampling
+# ---------------------------------------------------------------------------
+
+def _sample_local(params, cfg, B, temperature, has_pair, lb, S_true,
+                  chain_mask_b, decoding_order, rank, bias, step_keys,
+                  pair_arrays):
+    """Shard-local body of sample_graph_parallel.
+
+    Encode + the static neighbor context rows (the O(L*K*H) memory/FLOP
+    bulk) are computed on the shard's rows only. The L-step decode scan then
+    runs replicated on every shard: the carry holds only O(L*H) node state
+    (h_V_stack, h_S — identical on all shards), and each step fetches the
+    decoded position's [K, 2H] static edge rows from their owner shard with
+    a single psum. All shards draw the same tokens (same keys, same
+    replicated inputs), so the outputs are replicated by construction.
+    """
+    from ..models.mpnn import _OMIT_ALWAYS, _pair_bias_step, embed_tokens
+    from ..models.modules import dec_layer_apply
+
+    h_V_l, h_E_l, E_idx_l, mask_l = _encode_local(params, cfg, lb, None, 0.0)
+    H = h_V_l.shape[-1]
+    K = E_idx_l.shape[-1]
+    L = decoding_order.shape[-1]
+    Ls = h_V_l.shape[1]
+    nl = bias.shape[-1]
+    fdtype = h_V_l.dtype
+
+    h_V0_g = _ag(h_V_l)[0]                     # [L, H]
+    mask_g = _ag(mask_l)[0]                    # [L]
+    E_idx_g = _ag(E_idx_l)[0]                  # [L, K] (global indices; small)
+    # Static per-edge context rows, kept SHARDED: [Ls, K, 2H] =
+    # concat(h_E, h_V_enc(j)). The h_S slot of the reference's
+    # h_EXV_encoder layout is zero and is re-inserted at use time.
+    static_l = jnp.concatenate(
+        [h_E_l, _gather_global(h_V0_g[None], E_idx_l)], axis=-1)[0]
+
+    n_dec = cfg.num_decoder_layers
+    omit = jnp.zeros((nl,), fdtype).at[jnp.asarray(_OMIT_ALWAYS)].set(1.0)
+    my = jax.lax.axis_index(GRAPH_AXIS)
+    b_idx = jnp.arange(B)
+    mask_b = jnp.broadcast_to(mask_g, (B, L))
+    h_V0_b = jnp.broadcast_to(h_V0_g, (B, L, H))
+    bias = bias.astype(fdtype)
+
+    init_carry = {
+        "h_V_stack": jnp.concatenate(
+            [h_V0_b[None], jnp.zeros((n_dec, B, L, H), fdtype)], axis=0),
+        "h_S": jnp.zeros((B, L, H), fdtype),
+        "S": jnp.full((B, L), nl - 1, jnp.int32),
+        "all_probs": jnp.zeros((B, L, nl), fdtype),
+        "all_log_probs": jnp.zeros((B, L, nl), fdtype),
+    }
+
+    def step(carry, inp):
+        t_step, skey = inp
+        t = decoding_order[:, t_step]                     # [B]
+        # Owner-shard fetch of the static edge rows: one psum of [B, K, 2H].
+        local_t = jnp.clip(t - my * Ls, 0, Ls - 1)
+        owned = ((t // Ls) == my).astype(fdtype)[:, None, None]
+        rows = jax.lax.psum(static_l[local_t] * owned, GRAPH_AXIS)
+        h_E_t = rows[..., :H][:, None]                    # [B,1,K,H]
+        h_Vj_t = rows[..., H:][:, None]                   # [B,1,K,H]
+
+        E_idx_t = E_idx_g[t][:, None]                     # [B,1,K]
+        rank_t = rank[b_idx, t]
+        rank_j = rank[b_idx[:, None], E_idx_t[:, 0]]      # [B,K]
+        attend = (rank_j < rank_t[:, None]).astype(fdtype)
+        mask_t = mask_b[b_idx, t]
+        mask_bw_t = (mask_t[:, None] * attend)[:, None, :, None]
+        mask_fw_t = (mask_t[:, None] * (1.0 - attend))[:, None, :, None]
+        h_EXV_t = mask_fw_t * jnp.concatenate(
+            [h_E_t, jnp.zeros_like(h_E_t), h_Vj_t], axis=-1)
+
+        chain_mask_t = chain_mask_b[b_idx, t]
+        bias_t = bias[b_idx, t]
+
+        h_S_j = carry["h_S"][b_idx[:, None], E_idx_t[:, 0]][:, None]
+        h_ES_t = jnp.concatenate([h_E_t, h_S_j], axis=-1)
+
+        h_V_stack = carry["h_V_stack"]
+        for l, layer_params in enumerate(params["decoder"]):
+            h_Vl_j = h_V_stack[l][b_idx[:, None], E_idx_t[:, 0]][:, None]
+            h_ESV_t = (mask_bw_t * jnp.concatenate([h_ES_t, h_Vl_j], axis=-1)
+                       + h_EXV_t)
+            h_V_t = h_V_stack[l][b_idx, t][:, None]
+            out = dec_layer_apply(layer_params, h_V_t, h_ESV_t,
+                                  mask_V=mask_t[:, None])
+            h_V_stack = h_V_stack.at[l + 1, b_idx, t].set(out[:, 0])
+
+        h_V_t = h_V_stack[n_dec, b_idx, t]
+        logits = linear(params["W_out"], h_V_t)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+
+        total_bias = bias_t
+        if has_pair:
+            total_bias = total_bias + _pair_bias_step(pair_arrays, t,
+                                                      carry["S"])
+        probs = jax.nn.softmax((logits + total_bias) / temperature, axis=-1)
+        probs = probs * (1.0 - omit)
+        probs_sample = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+        S_t = jax.random.categorical(skey, jnp.log(probs_sample + 1e-30),
+                                     axis=-1)
+        S_t = jnp.where(chain_mask_t > 0, S_t,
+                        S_true[b_idx, t]).astype(jnp.int32)
+
+        carry = {
+            "h_V_stack": h_V_stack,
+            "h_S": carry["h_S"].at[b_idx, t].set(
+                embed_tokens(params, S_t).astype(fdtype)),
+            "S": carry["S"].at[b_idx, t].set(S_t),
+            "all_probs": carry["all_probs"].at[b_idx, t].set(
+                (chain_mask_t[:, None] * probs_sample).astype(fdtype)),
+            "all_log_probs": carry["all_log_probs"].at[b_idx, t].set(
+                (chain_mask_t[:, None] * log_probs).astype(fdtype)),
+        }
+        return carry, None
+
+    carry, _ = jax.lax.scan(step, init_carry,
+                            (jnp.arange(L), step_keys))
+    return {
+        "S": carry["S"],
+        "sampling_probs": carry["all_probs"],
+        "log_probs": carry["all_log_probs"],
+        "decoding_order": decoding_order,
+    }
+
+
+def sample_graph_parallel(params, cfg: ModelConfig, batch, key, mesh: Mesh,
+                          num_samples: int = 1, temperature=0.1, bias=None,
+                          pair_bias_ctx=None):
+    """Autoregressive sampling with L sharded over the mesh "graph" axis.
+
+    Same contract and RNG stream as models.mpnn.sample (one structure in
+    batch; decode batch = num_samples), so outputs match the single-device
+    sampler given the same key. The encoder pass and the [L, K, 2H] static
+    decoder context — the only O(L*K) memory in sampling, the reason large
+    structures need partitioning at all — live sharded; the sequential
+    decode keeps the small [n_dec+1, L, H] node stack replicated and pays
+    one [K, 2H]-row psum per step (rides ICI on hardware).
+    """
+    B = num_samples
+    L = batch["S"].shape[-1]
+    nl = cfg.num_letters
+
+    key_order, key_steps = jax.random.split(key)
+    mask_full = jnp.asarray(batch["mask"][0:1]).astype(jnp.float32)
+    chain_mask = mask_full * jnp.asarray(
+        batch["chain_mask"][0:1]).astype(jnp.float32)
+    chain_mask_b = jnp.broadcast_to(chain_mask[0], (B, L))
+    if "decoding_order" in batch:
+        decoding_order = jnp.broadcast_to(
+            batch["decoding_order"], (B, L)).astype(jnp.int32)
+    else:
+        from ..models.mpnn import sample_decoding_order
+        decoding_order = sample_decoding_order(
+            key_order, chain_mask_b).astype(jnp.int32)
+    rank = jnp.argsort(decoding_order, axis=-1).astype(jnp.int32)
+    S_true = jnp.broadcast_to(jnp.asarray(batch["S"])[0],
+                              (B, L)).astype(jnp.int32)
+    if bias is None:
+        bias_b = jnp.zeros((B, L, nl), jnp.float32)
+    else:
+        bias_b = jnp.broadcast_to(bias, (B, L, nl)).astype(jnp.float32)
+    step_keys = jax.random.split(key_steps, L)
+
+    keys = ["X", "X_m", "mask", "R_idx", "chain_labels", "protein_mask",
+            "dna_mask", "rna_mask", "R_polymer_type"]
+    lb = {k: jnp.asarray(batch[k])[0:1] for k in keys}
+    lb["rid"] = jnp.arange(L, dtype=jnp.int32).reshape(1, L)
+    specs = {k: P(None, GRAPH_AXIS) for k in lb}
+
+    has_pair = pair_bias_ctx is not None
+    if has_pair:
+        pair_arrays = {
+            "pair_bias_AA": jnp.asarray(pair_bias_ctx["pair_bias_AA"]),
+            "u_diag": jnp.asarray(pair_bias_ctx["u_diag"]),
+        }
+    else:
+        pair_arrays = {"pair_bias_AA": jnp.zeros((nl, nl)),
+                       "u_diag": jnp.zeros((max(L - 1, 1),))}
+
+    fn = shard_map(
+        partial(_sample_local, params, cfg, B, temperature, has_pair),
+        mesh=mesh,
+        in_specs=(specs, P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    lb = {k: jax.device_put(v, NamedSharding(mesh, P(None, GRAPH_AXIS)))
+          for k, v in lb.items()}
+    return fn(lb, S_true, chain_mask_b, decoding_order, rank, bias_b,
+              step_keys, pair_arrays)
