@@ -171,6 +171,75 @@ def dataset_statistics(scan_csv: str, out_path: str = None):
     return summary
 
 
+def load_experimental_results(csv_path: str):
+    """Load an OpenKnotBench-style experimental results CSV (role of the
+    reference visualization/plot_experimental_results.ipynb data cells):
+    slice each row's design subsequence out of the full construct via
+    sub_start/sub_end (1-based inclusive, as the benchmark encodes them) and
+    collect its per-position reactivity vector from the reactivity_* columns
+    (error columns excluded). Returns the DataFrame with added `design_seq`
+    and `reactivity_vec` columns."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    if {"sequence", "sub_start", "sub_end"} <= set(df.columns):
+        df["design_seq"] = df.apply(
+            lambda r: r["sequence"][int(r["sub_start"]) - 1:int(r["sub_end"])],
+            axis=1)
+    react_cols = [c for c in df.columns
+                  if "reactivity" in c and "error" not in c]
+    if react_cols:
+        vecs = []
+        for _, r in df.iterrows():
+            v = np.asarray(r[react_cols], np.float64)
+            if "sub_start" in df.columns:
+                v = v[int(r["sub_start"]) - 1:int(r["sub_end"])]
+            vecs.append(v)
+        df["reactivity_vec"] = vecs
+    return df
+
+
+def experimental_results_summary(csv_path: str, methods=None, rounds=None,
+                                 score_col: str = "target_openknot_score",
+                                 method_col: str = "method",
+                                 round_col: str = "round",
+                                 out_path: Optional[str] = None):
+    """Per-method score statistics + boxplot from an experimental benchmark
+    CSV (role of the reference plot_openknot_score_boxplot: filter to the
+    given methods/rounds, print count/median per method, draw per-method
+    score boxplots). Returns the (method, round) -> {count, median, mean}
+    summary DataFrame."""
+    import pandas as pd
+
+    df = load_experimental_results(csv_path)
+    if methods is not None and method_col in df:
+        df = df[df[method_col].isin(list(methods))]
+    if rounds is not None and round_col in df:
+        df = df[df[round_col].isin(list(rounds))]
+    group_cols = [c for c in (method_col, round_col) if c in df]
+    summary = df.groupby(group_cols)[score_col].agg(
+        ["count", "median", "mean"]).reset_index()
+
+    if out_path:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        order = (list(methods) if methods is not None
+                 else sorted(df[method_col].unique()))
+        data = [df[df[method_col] == m][score_col].dropna() for m in order]
+        fig, ax = plt.subplots(figsize=(1.0 + 0.9 * len(order), 3.2))
+        ax.boxplot(data, tick_labels=order, showfliers=False)
+        for i, vals in enumerate(data):
+            if len(vals):
+                x = np.random.RandomState(0).normal(i + 1, 0.06, len(vals))
+                ax.plot(x, vals, ".", ms=3, alpha=0.5)
+        ax.set_ylabel(score_col)
+        fig.tight_layout()
+        fig.savefig(out_path, dpi=120)
+    return summary
+
+
 def summarize_scores(results_glob: str, group_by: str = None):
     """Aggregate score JSONs into per-metric mean/median/count stats (role of
     the reference plot_in_silico_results.ipynb / plot_experimental_results
@@ -211,6 +280,11 @@ def main(argv=None):
     sm.add_argument("results_glob")
     sm.add_argument("out_csv")
     sm.add_argument("--group_by")
+    ex = sub.add_parser("experimental")
+    ex.add_argument("csv_path")
+    ex.add_argument("out_png")
+    ex.add_argument("--methods", nargs="*")
+    ex.add_argument("--score_col", default="target_openknot_score")
     args = p.parse_args(argv)
 
     if args.cmd == "curves":
@@ -230,6 +304,11 @@ def main(argv=None):
         _, summary = summarize_scores(args.results_glob, args.group_by)
         summary.to_csv(args.out_csv)
         print(summary)
+    elif args.cmd == "experimental":
+        summary = experimental_results_summary(
+            args.csv_path, methods=args.methods, score_col=args.score_col,
+            out_path=args.out_png)
+        print(summary.to_string(index=False))
 
 
 if __name__ == "__main__":

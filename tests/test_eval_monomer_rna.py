@@ -266,6 +266,42 @@ def test_dataset_statistics_and_score_summary(tmp_path):
     assert summary.loc["sequence_recovery", "count"] == 2
 
 
+def test_experimental_results_summary(tmp_path):
+    """OpenKnotBench-style experimental-results loading + per-method stats
+    (reference plot_experimental_results.ipynb: design_seq slicing,
+    reactivity vectors, per-method score boxplot)."""
+    import pandas as pd
+    from na_mpnn_tpu.eval.visualize import (experimental_results_summary,
+                                            load_experimental_results)
+
+    csv = tmp_path / "openknot.csv"
+    pd.DataFrame({
+        "method": ["WT", "MPNN-fixbb", "MPNN-fixbb", "gRNAde"],
+        "round": [1, 1, 1, 2],
+        "target_openknot_score": [40.0, 80.0, 90.0, 60.0],
+        "sequence": ["GGAACCUU"] * 4,
+        "sub_start": [2, 2, 3, 1],
+        "sub_end": [5, 5, 6, 8],
+        "reactivity_0001": [0.1] * 4,
+        "reactivity_0002": [0.2] * 4,
+        "reactivity_0003": [0.3] * 4,
+        "reactivity_error_0001": [9.0] * 4,
+    }).to_csv(csv, index=False)
+
+    df = load_experimental_results(str(csv))
+    assert df["design_seq"].tolist() == ["GAAC", "GAAC", "AACC", "GGAACCUU"]
+    # error columns excluded; vector sliced by sub_start (clipped to len 3)
+    np.testing.assert_allclose(df["reactivity_vec"].iloc[0], [0.2, 0.3])
+
+    out_png = tmp_path / "box.png"
+    summary = experimental_results_summary(
+        str(csv), methods=["WT", "MPNN-fixbb"], rounds=[1],
+        out_path=str(out_png))
+    assert out_png.exists()
+    row = summary[summary["method"] == "MPNN-fixbb"].iloc[0]
+    assert row["count"] == 2 and row["median"] == 85.0
+
+
 def test_parse_dssr_output_structured():
     text = """\
 Some preamble
