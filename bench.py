@@ -19,7 +19,13 @@ training throughput; the repo publishes no numbers (BASELINE.md), so the
 baseline constant is derived from the published training allocation
 (100k steps of <=6000-token batches budgeted for 2 days of A100;
 launch_training.sh:2-6 + design_model.json:19,21):
-100000 steps * 6000 tokens * 32 edges / 172800 s ~= 1.11e8 edges/s.
+100000 steps * 6000 tokens * 32 edges / 172800 s ~= 1.11e5 edges/s.
+This is the throughput the reference NEEDS to finish its configured run
+inside its Slurm allocation — a lower bound on its actual speed (the job
+may finish early), so treat vs_baseline as an upper bound on the speedup.
+For a hardware-honest comparison, extra carries the measured achievable
+bf16 peak of this relay chip and the train-step throughput scaled to
+full v5e spec (197 TFLOP/s).
 
 Timing notes: every measurement chains n iterations through a data
 dependency and ends with one host readback — on the axon relay,
@@ -30,8 +36,9 @@ import time
 
 import numpy as np
 
-# Estimated reference A100 training throughput (see module docstring).
-BASELINE_EDGES_PER_S = 1.11e8
+# Allocation-implied reference A100 training throughput (see module
+# docstring; a lower bound on the reference's actual speed).
+BASELINE_EDGES_PER_S = 1.11e5
 
 B, L, K = 8, 768, 32  # ~6000-token training batch
 
@@ -186,6 +193,35 @@ def bench_sampler(cfg, params):
             "sample_ms_per_residue": float(f"{dt / Ls * 1e3:.4g}")}
 
 
+def bench_peak_tflops():
+    """Achievable bf16 matmul peak on this chip (chained 4096^2 matmuls +
+    one readback). Context for the absolute numbers: the relay hardware
+    delivers a fraction of real-v5e spec (197 bf16 TFLOP/s), and this
+    measurement quantifies that fraction in the same process as the model
+    benchmarks."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d = 24, 4096
+    a = jnp.ones((d, d), jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        for _ in range(n):
+            x = jnp.dot(x, a, preferred_element_type=jnp.bfloat16)
+            x = x * (1.0 / d)
+        return jnp.float32(x[0, 0])
+
+    assert np.isfinite(float(chain(a)))  # compile + force
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        v = chain(a)
+        assert np.isfinite(float(v))
+        best = min(best, time.perf_counter() - t0)
+    return 2 * d ** 3 * n / best / 1e12
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -209,6 +245,13 @@ def main():
     extra["forward_edges_per_s"] = float(f"{edges / fwd_s:.6g}")
     extra.update(bench_stages(fwd_cfg, params, batch))
     extra.update(bench_sampler(fwd_cfg, params))
+    # Hardware context: this chip's achievable bf16 peak vs the 197 TFLOP/s
+    # v5e spec. The scaled estimate is what the same train step implies on a
+    # full-spec chip (the model is compute-bound here: 4x batch -> 4.1x time).
+    peak = bench_peak_tflops()
+    extra["relay_peak_bf16_tflops"] = float(f"{peak:.4g}")
+    extra["v5e_spec_scaled_train_edges_per_s_estimate"] = float(
+        f"{train_edges_per_s * 197.0 / max(peak, 1e-9):.4g}")
 
     print(json.dumps({
         "metric": "mpnn_train_step_edges_per_s",

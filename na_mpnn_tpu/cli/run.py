@@ -53,6 +53,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--load_residues_with_missing_atoms", type=int, default=0)
     p.add_argument("--mode", type=str, default=None,
                    help="design | specificity; sets checkpoint/batch/temperature defaults")
+    p.add_argument("--pad_to_bucket", type=int, default=0,
+                   help="Pad each structure to the next multiple of this "
+                        "length so different-length inputs share one compiled "
+                        "TPU executable (amortizes jit compiles across a "
+                        "multi-PDB sweep). 0 disables. Outputs are truncated "
+                        "back to the true length.")
     p.add_argument("--stats_format", type=str, default="pt",
                    help="pt (torch, reference-compatible) or npz")
     return p
@@ -210,16 +216,20 @@ def main(args):
             sym_weights = [[]]
         use_symmetry = any(len(s) > 0 for s in sym_lists)
 
-        batch = featurize_inference(parsed, chain_mask)
-        bias = np.tile(-1e8 * omit_AA + bias_AA, (L, 1))  # [L,nl]
+        pad_L = 0
+        if args.pad_to_bucket:
+            pad_L = -(-L // args.pad_to_bucket) * args.pad_to_bucket
+        batch = featurize_inference(parsed, chain_mask, pad_to=pad_L)
+        L_run = max(pad_L, L)  # model-side length (padded rows are inert)
+        bias = np.tile(-1e8 * omit_AA + bias_AA, (L_run, 1))  # [L_run,nl]
         pair_bias_ctx = None
         if args.pair_bias_AA:
             pair_bias_ctx = make_pair_bias_ctx(
                 np.asarray(batch["chain_labels"][0]), np.asarray(batch["R_idx"][0]),
                 pair_bias_AA)
 
-        mask_np = np.asarray(batch["mask"][0], np.float32)
-        chain_mask_np = mask_np * np.asarray(chain_mask, np.float32)
+        mask_np = np.asarray(batch["mask"][0], np.float32)  # [L_run]
+        chain_mask_np = mask_np * np.asarray(batch["chain_mask"][0], np.float32)
 
         S_list, log_probs_list, probs_list, order_list = [], [], [], []
         loss_list, loss_pr_list, loss_XY_list = [], [], []
@@ -230,7 +240,7 @@ def main(args):
                 base_order = np.asarray(
                     sample_decoding_order(key_order, jnp.asarray(chain_mask_np)[None]))[0]
                 groups, gweights, flat = build_decode_groups(
-                    base_order, sym_lists, sym_weights, L)
+                    base_order, sym_lists, sym_weights, L_run)
                 out = sample_tied(params, cfg, batch, key_sample, groups, gweights,
                                   flat, num_samples=args.batch_size,
                                   temperature=args.temperature,
@@ -265,8 +275,20 @@ def main(args):
             batch["S"][:1], jnp.asarray(S_stack),
             (batch["mask"] * batch["chain_mask"])[:1].astype(jnp.float32)))
 
-        S_native = np.asarray(batch["S"][0])
-        rna_conv = np.asarray(batch["rna_mask_for_token_conversion"][0])
+        if L_run > L:
+            # Drop the inert pad rows from everything user-facing; the
+            # decoding order keeps its real-residue entries in decode order.
+            S_stack = S_stack[:, :L]
+            log_probs_stack = log_probs_stack[:, :L]
+            sampling_probs_stack = sampling_probs_stack[:, :L]
+            loss_per_residue_stack = loss_per_residue_stack[:, :L]
+            decoding_order_stack = np.stack(
+                [row[row < L] for row in
+                 decoding_order_stack.reshape(-1, L_run)]).reshape(
+                     decoding_order_stack.shape[:-1] + (L,))
+
+        S_native = np.asarray(batch["S"][0])[:L]
+        rna_conv = np.asarray(batch["rna_mask_for_token_conversion"][0])[:L]
 
         def ints_to_seq(S_ints):
             out_chars = []
@@ -290,8 +312,8 @@ def main(args):
             "log_probs": log_probs_stack,
             "decoding_order": decoding_order_stack,
             "native_sequence": S_native,
-            "mask": np.asarray(batch["mask"][0]),
-            "chain_mask": np.asarray(batch["chain_mask"][0]),
+            "mask": np.asarray(batch["mask"][0])[:L],
+            "chain_mask": np.asarray(batch["chain_mask"][0])[:L],
             "seed": seed,
             "temperature": args.temperature,
         }
@@ -311,11 +333,11 @@ def main(args):
             specificity_output_dict = {
                 "predicted_ppm": predicted_ppm,
                 "true_sequence": S_native.astype(np.int64),
-                "chain_labels": np.asarray(batch["chain_labels"][0]),
-                "mask": np.asarray(batch["mask"][0]),
-                "protein_mask": np.asarray(batch["protein_mask"][0]),
-                "dna_mask": np.asarray(batch["dna_mask"][0]),
-                "rna_mask": np.asarray(batch["rna_mask"][0]),
+                "chain_labels": np.asarray(batch["chain_labels"][0])[:L],
+                "mask": np.asarray(batch["mask"][0])[:L],
+                "protein_mask": np.asarray(batch["protein_mask"][0])[:L],
+                "dna_mask": np.asarray(batch["dna_mask"][0])[:L],
+                "rna_mask": np.asarray(batch["rna_mask"][0])[:L],
                 "encoded_residues": encoded_residues,
                 "encoded_residues_dict": encoded_residue_dict,
                 "restype_to_int": restype_to_int,
@@ -326,7 +348,7 @@ def main(args):
         fasta_entries = [
             ">{}, T={}, seed={}, num_res={}, batch_size={}, number_of_batches={}, model_path={}\n{}".format(
                 name, args.temperature, seed,
-                int(np.sum(mask_np * np.asarray(chain_mask, np.float32))),
+                int(np.sum(chain_mask_np)),
                 args.batch_size, args.number_of_batches, args.checkpoint_na_mpnn,
                 seq_by_chains(native_seq))
         ]

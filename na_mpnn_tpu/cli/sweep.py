@@ -60,7 +60,8 @@ def _structure_rows(structures_csv: str, split: Optional[str],
 
 def score_design_checkpoint(checkpoint_path: str, structure_paths: List[str],
                             num_samples: int, temperature: float,
-                            seed: int, workdir: str) -> Dict:
+                            seed: int, workdir: str,
+                            pad_to_bucket: int = 0) -> Dict:
     """Mean native-sequence recovery of sampled designs over the structures
     (the design-sweep metric, evaluation_cmds.txt:1-27)."""
     from ..eval.harness import run_na_mpnn_sequence
@@ -72,7 +73,8 @@ def score_design_checkpoint(checkpoint_path: str, structure_paths: List[str],
         designs = run_na_mpnn_sequence(
             sp, output_directory=out_dir, batch_size=num_samples,
             number_of_batches=1, temperature=temperature,
-            na_mpnn_model_path=checkpoint_path, seed=seed)
+            na_mpnn_model_path=checkpoint_path, seed=seed,
+            pad_to_bucket=pad_to_bucket)
         recs.extend(d["tool_reported_sequence_recovery"] for d in designs)
     return {"metric": "sequence_recovery",
             "value": float(np.mean(recs)) if recs else float("nan"),
@@ -81,7 +83,8 @@ def score_design_checkpoint(checkpoint_path: str, structure_paths: List[str],
 
 def score_specificity_checkpoint(checkpoint_path: str, rows,
                                  num_samples: int, temperature: float,
-                                 seed: int, workdir: str) -> Dict:
+                                 seed: int, workdir: str,
+                                 pad_to_bucket: int = 0) -> Dict:
     """Mean PPM Pearson correlation of predicted vs experimental PPMs
     (the specificity-sweep metric, evaluation_cmds.txt:29-63)."""
     from ..data.dataset import load_ppms
@@ -96,7 +99,8 @@ def score_specificity_checkpoint(checkpoint_path: str, rows,
         spec = run_na_mpnn_specificity(
             sp, output_directory=out_dir, batch_size=num_samples,
             number_of_batches=1, temperature=temperature,
-            na_mpnn_model_path=checkpoint_path, seed=seed)
+            na_mpnn_model_path=checkpoint_path, seed=seed,
+            pad_to_bucket=pad_to_bucket)
         reference_ppms, _ = load_ppms(row["reference_ppms"],
                                       randomize_experimental_ppms=False)
         result = score_specificity_arrays(
@@ -122,7 +126,8 @@ def run_sweep(checkpoint_dir: str, structures_csv: str, mode: str,
               temperature: Optional[float] = None, seed: int = 0,
               out: Optional[str] = None, workdir: Optional[str] = None,
               modulo: int = 1, remainder: int = 0,
-              checkpoints: Optional[List[str]] = None) -> Dict:
+              checkpoints: Optional[List[str]] = None,
+              pad_to_bucket: int = 64) -> Dict:
     if temperature is None:
         temperature = 0.1 if mode == "design" else 0.5
     workdir = workdir or os.path.join(checkpoint_dir, "sweep_work")
@@ -137,10 +142,11 @@ def run_sweep(checkpoint_dir: str, structures_csv: str, mode: str,
         if mode == "design":
             res = score_design_checkpoint(
                 ck, list(rows["structure_path"]), num_samples, temperature,
-                seed, ck_work)
+                seed, ck_work, pad_to_bucket=pad_to_bucket)
         elif mode == "specificity":
             res = score_specificity_checkpoint(
-                ck, rows, num_samples, temperature, seed, ck_work)
+                ck, rows, num_samples, temperature, seed, ck_work,
+                pad_to_bucket=pad_to_bucket)
         else:
             raise ValueError(f"invalid mode: {mode}")
         entry = {"checkpoint": ck, **res}
@@ -173,12 +179,17 @@ def main(argv=None):
     p.add_argument("--modulo", type=int, default=1,
                    help="shard structures across machines")
     p.add_argument("--remainder", type=int, default=0)
+    p.add_argument("--pad_to_bucket", type=int, default=64,
+                   help="pad structures to multiples of this length so the "
+                        "whole sweep shares a handful of compiled "
+                        "executables instead of one per unique length "
+                        "(30-60s compile each); 0 disables")
     args = p.parse_args(argv)
     run_sweep(args.checkpoint_dir, args.structures_csv, args.mode,
               split=args.split, num_samples=args.num_samples,
               temperature=args.temperature, seed=args.seed, out=args.out,
               workdir=args.workdir, modulo=args.modulo,
-              remainder=args.remainder)
+              remainder=args.remainder, pad_to_bucket=args.pad_to_bucket)
 
 
 if __name__ == "__main__":

@@ -25,17 +25,46 @@ def renumber_duplicate_resnums(R_idx: np.ndarray) -> np.ndarray:
     return np.array(out, dtype=np.asarray(R_idx).dtype)
 
 
-def featurize_inference(parsed: Dict, chain_mask: np.ndarray) -> Dict:
+def featurize_inference(parsed: Dict, chain_mask: np.ndarray,
+                        pad_to: int = 0) -> Dict:
     """Add batch dims + renumber R_idx -> model-ready jnp batch
-    (reference inference/data_utils.py:407-439)."""
+    (reference inference/data_utils.py:407-439).
+
+    pad_to > L pads every per-residue array to that length with inert rows
+    (mask=0, fresh chain label, strictly-increasing R_idx), so structures of
+    different lengths share one compiled executable — a TPU-side addition
+    (the torch reference recompiles nothing; XLA compiles per shape).
+    Padded rows are excluded from the kNN graph by the masked distance
+    adjustment and from every loss/score by the mask products; callers
+    truncate sampled outputs back to L.
+    """
+    L = len(parsed["S"])
+    pad = max(int(pad_to) - L, 0)
+
+    def padded(a, fill=0):
+        a = np.asarray(a)
+        if pad == 0:
+            return a
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths, constant_values=fill)
+
+    R_idx = renumber_duplicate_resnums(parsed["R_idx"])
+    if pad:
+        tail = R_idx[-1] + 1 + np.arange(pad, dtype=R_idx.dtype)
+        R_idx = np.concatenate([R_idx, tail])
+    chain_labels = np.asarray(parsed["chain_labels"])
+    chain_labels = padded(chain_labels,
+                          fill=int(chain_labels.max()) + 1 if pad else 0)
+
     batch = {}
-    batch["R_idx"] = jnp.asarray(renumber_duplicate_resnums(parsed["R_idx"]))[None]
-    batch["R_idx_original"] = jnp.asarray(parsed["R_idx"])[None]
-    for k in ["chain_labels", "S", "mask", "protein_mask", "dna_mask", "rna_mask",
+    batch["R_idx"] = jnp.asarray(R_idx)[None]
+    batch["R_idx_original"] = jnp.asarray(padded(parsed["R_idx"]))[None]
+    batch["chain_labels"] = jnp.asarray(chain_labels)[None]
+    for k in ["S", "mask", "protein_mask", "dna_mask", "rna_mask",
               "rna_mask_for_token_conversion", "R_polymer_type", "X", "X_m",
               "xyz_65", "xyz_65_m"]:
-        batch[k] = jnp.asarray(parsed[k])[None]
-    batch["chain_mask"] = jnp.asarray(chain_mask)[None]
+        batch[k] = jnp.asarray(padded(parsed[k]))[None]
+    batch["chain_mask"] = jnp.asarray(padded(chain_mask))[None]
     return batch
 
 

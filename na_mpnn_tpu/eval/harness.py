@@ -120,7 +120,8 @@ def run_na_mpnn_sequence(structure_path, output_directory, batch_size=10,
                          omit_AA="ARNDCQEGHILKMFPSTWYVXbdhuy",
                          design_na_only=1, load_residues_with_missing_atoms=0,
                          output_pdbs=0, catch_failed_inferences=1,
-                         na_mpnn_model_path=None, seed=0) -> List[Dict]:
+                         na_mpnn_model_path=None, seed=0,
+                         pad_to_bucket=0) -> List[Dict]:
     """Design sequences with our CLI and parse the FASTA back into design
     dicts (reference run_na_mpnn_sequence,
     evaluation/na_eval_utils.py:2356-2509)."""
@@ -142,6 +143,7 @@ def run_na_mpnn_sequence(structure_path, output_directory, batch_size=10,
         "--load_residues_with_missing_atoms", str(load_residues_with_missing_atoms),
         "--output_pdbs", str(output_pdbs),
         "--seed", str(seed),
+        "--pad_to_bucket", str(pad_to_bucket),
     ])
     args = apply_mode_defaults(args)
     cli_main(args)
@@ -168,7 +170,8 @@ def run_na_mpnn_sequence(structure_path, output_directory, batch_size=10,
 
 def run_na_mpnn_specificity(structure_path, output_directory, batch_size=30,
                             number_of_batches=10, temperature=0.6,
-                            na_mpnn_model_path=None, seed=0) -> Dict:
+                            na_mpnn_model_path=None, seed=0,
+                            pad_to_bucket=0) -> Dict:
     """Predict a PPM with our CLI's specificity mode and load the .npz
     (reference run_na_mpnn_specificity, evaluation/na_eval_utils.py:1034-1200)."""
     from ..cli.run import apply_mode_defaults, build_argparser, main as cli_main
@@ -190,6 +193,7 @@ def run_na_mpnn_specificity(structure_path, output_directory, batch_size=30,
         "--output_pdbs", "0",
         "--output_sequences", "0",
         "--seed", str(seed),
+        "--pad_to_bucket", str(pad_to_bucket),
     ])
     args = apply_mode_defaults(args)
     cli_main(args)

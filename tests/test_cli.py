@@ -170,3 +170,52 @@ def test_fixed_pos_by_pdb_and_misc_flags(random_ckpt, tmp_path):
     native = stats2["native_sequence"]
     fixed_idx = np.where(cm == 0)[0]
     np.testing.assert_array_equal(S2[fixed_idx], native[fixed_idx])
+
+
+def test_pad_to_bucket_score_parity_and_cli(random_ckpt, tmp_path):
+    """--pad_to_bucket: padded rows are inert — teacher-forced log_probs on
+    real rows match the unpadded run exactly, and the CLI truncates every
+    output back to the true length (TPU-side compile-amortization feature;
+    no reference counterpart — torch recompiles nothing)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from na_mpnn_tpu.cli.run import apply_mode_defaults, build_argparser, main
+    from na_mpnn_tpu.data.featurize import featurize_inference
+    from na_mpnn_tpu.data.pdb import parse_pdb
+    from na_mpnn_tpu.models import ModelConfig, init_params
+    from na_mpnn_tpu.models.mpnn import score
+
+    import jax
+    parsed = parse_pdb(f"{EXAMPLES}/4oqu.pdb")
+    L = len(parsed["S"])
+    chain_mask = np.ones([L], np.int32)
+    cfg = ModelConfig(dropout=0.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    b0 = featurize_inference(parsed, chain_mask)
+    b1 = featurize_inference(parsed, chain_mask, pad_to=128)
+    assert int(b1["mask"].shape[1]) == 128
+    order0 = jnp.arange(L)[None]
+    order1 = jnp.arange(128)[None]  # pad rows decode last
+    lp0 = score(params, cfg, b0, decoding_order=order0)["log_probs"]
+    lp1 = score(params, cfg, b1, decoding_order=order1)["log_probs"]
+    np.testing.assert_allclose(np.asarray(lp1[:, :L]), np.asarray(lp0),
+                               rtol=0, atol=2e-5)
+
+    out = str(tmp_path / "pad")
+    args = build_argparser().parse_args([
+        "--mode", "design", "--checkpoint_na_mpnn", random_ckpt,
+        "--pdb_path", f"{EXAMPLES}/4oqu.pdb", "--out_folder", out,
+        "--seed", "7", "--batch_size", "2", "--save_stats", "1",
+        "--stats_format", "npz", "--pad_to_bucket", "64",
+        "--omit_AA", "ARNDCQEGHILKMFPSTWYVX",
+    ])
+    main(apply_mode_defaults(args))
+    stats = np.load(out + "/stats/4oqu.npz")
+    assert stats["generated_sequences"].shape == (2, L)   # truncated (97<128)
+    assert stats["decoding_order"].shape == (2, L)
+    assert sorted(stats["decoding_order"][0].tolist()) == list(range(L))
+    entries = open(out + "/seqs/4oqu.fa").read().split(">")[1:]
+    for e in entries[1:]:
+        seq = e.strip().split("\n")[-1]
+        assert len(seq) == L and set(seq) <= set("bdhu"), seq
