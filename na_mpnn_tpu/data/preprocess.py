@@ -184,6 +184,7 @@ class HBParams:
     B_ij_limit: float = np.pi / 5
     min_hbonds_for_bp: float = 2.0
     bp_hbond_coeff: float = 8.0
+    bp_val_cutoff: float = 0.5
 
 
 # ---------------------------------------------------------------------------
@@ -360,13 +361,22 @@ def base_pair_probabilities(S_rfaa, X_rfaa, params: HBParams = HBParams()):
     """[L,L] base-pair probabilities = sigmoid(8*(hbonds-1)) x geometry
     filters (reference _compute_local_base_params / _compute_pairwise_base_params
     / _compute_paired_bases, data/preprocess_dataset.py:340-481)."""
+    return _base_pair_geometry(S_rfaa, X_rfaa, params)["bp"]
+
+
+def _base_pair_geometry(S_rfaa, X_rfaa, params: HBParams = HBParams()):
+    """Base frames + pairwise frames + the [L,L] base-pair probability
+    matrix; the NA-block intermediates (X_ij/Y_ij, frame centers) feed
+    helical_params."""
     L = S_rfaa.shape[0]
     is_dna = (S_rfaa >= RFAA_TYPE_TO_INT["DA"]) & (S_rfaa <= RFAA_TYPE_TO_INT["DT"])
     is_rna = (S_rfaa >= RFAA_TYPE_TO_INT["RA"]) & (S_rfaa <= RFAA_TYPE_TO_INT["RU"])
     is_na = is_dna | is_rna
     n_na = int(is_na.sum())
+    empty = {"bp": np.zeros((L, L), np.float32), "is_na": is_na,
+             "n_na": n_na, "X_ij": None, "Y_ij": None, "frame_na": None}
     if n_na == 0:
-        return np.zeros((L, L), np.float32)
+        return empty
 
     counts = hbond_counts(S_rfaa, X_rfaa, params)
     bp_preds = 1.0 / (1.0 + np.exp(-params.bp_hbond_coeff
@@ -443,7 +453,99 @@ def base_pair_probabilities(S_rfaa, X_rfaa, params: HBParams = HBParams()):
     geom = np.zeros((L, L), bool)
     geom[np.outer(is_na, is_na)] = (H_f & B_f & P_f).reshape(-1)
     both_na = np.outer(is_na, is_na)
-    return (both_na * geom * bp_preds).astype(np.float32)
+    return {"bp": (both_na * geom * bp_preds).astype(np.float32),
+            "is_na": is_na, "n_na": n_na, "X_ij": X_ij, "Y_ij": Y_ij,
+            "frame_na": frame[is_na]}
+
+
+HELICAL_PARAM_NAMES = (
+    "tilt", "roll", "twist", "shift", "slide", "rise",
+    "inclination", "tip", "helical_twist", "x_disp", "y_disp",
+    "helical_rise")
+
+
+def helical_params(S_rfaa, X_rfaa, params: HBParams = HBParams()):
+    """Per-NA-residue doublet-step and local helical parameters, averaged
+    over base-paired partner combinations (reference _compute_helical_params,
+    data/preprocess_dataset.py:483-631 — gated off by default and marked
+    in-progress there; exact same combination-enumeration semantics,
+    including the doublet-membership initialization of the averaging
+    denominator and consecutive NA-block doublets across chain breaks).
+
+    Returns {name: [n_na] float32} for the 12 parameters in
+    HELICAL_PARAM_NAMES. arcsin/arccos arguments are not clamped (matching
+    the reference), so NaNs are possible for degenerate geometry.
+    """
+    g = _base_pair_geometry(S_rfaa, X_rfaa, params)
+    n_na = g["n_na"]
+    out = {k: np.zeros(n_na, np.float32) for k in HELICAL_PARAM_NAMES}
+    if n_na < 2:
+        return out
+    bp, is_na = g["bp"], g["is_na"]
+    X_ij, Y_ij, frame = g["X_ij"], g["Y_ij"], g["frame_na"]
+    na_inds = np.where(is_na)[0]
+    block_of = {int(gi): k for k, gi in enumerate(na_inds)}
+    # NA-block partner lists (ascending, like the reference's row-major
+    # nonzero scan).
+    partners = [
+        [block_of[int(j)] for j in np.where(bp[gi] >= params.bp_val_cutoff)[0]]
+        for gi in na_inds
+    ]
+
+    # Averaging denominator starts at each residue's doublet-membership
+    # count and grows by 1 per (j_1, j_2) combination it participates in.
+    avg = np.full(n_na, 2.0, np.float64)
+    avg[0] = avg[-1] = 1.0
+
+    combos = [(i1, i1 + 1, j1, j2)
+              for i1 in range(n_na - 1)
+              for j1 in partners[i1]
+              for j2 in partners[i1 + 1]]
+    if not combos:
+        return out
+    I1, I2, J1, J2 = (np.array(c) for c in zip(*combos))
+    np.add.at(avg, I1, 1.0)
+    np.add.at(avg, I2, 1.0)
+
+    X_1, X_2 = X_ij[I1, J1], X_ij[I2, J2]
+    Y_1, Y_2 = Y_ij[I1, J1], Y_ij[I2, J2]
+    Xp, Xn = X_2 + X_1, X_2 - X_1
+    Yp, Yn = Y_2 + Y_1, Y_2 - Y_1
+    M_12 = 0.5 * ((frame[I2] + frame[J2]) - (frame[I1] + frame[J1]))
+
+    def norm(v):
+        return np.linalg.norm(v, axis=-1)
+
+    # Zm/Zh carry the reference's sin(angle) magnitude (cross divided by the
+    # product of the operand norms, not by its own norm).
+    Zm = np.cross(Xp, Yp) / (norm(Xp) * norm(Yp) + EPS)[..., None]
+    Zh = np.cross(Xn, Yn) / (norm(Xn) * norm(Yn) + EPS)[..., None]
+
+    def dot(a, b):
+        return np.sum(a * b, axis=-1)
+
+    with np.errstate(invalid="ignore"):
+        vals = {
+            "tilt": -np.arcsin(dot(Zm, X_1)),
+            "roll": np.arcsin(dot(Zm, Y_1)),
+            "twist": np.arccos(dot(np.cross(X_1, Zm), np.cross(X_2, Zm))),
+            "shift": dot(M_12, Xp / (norm(Xp) + EPS)[..., None]),
+            "slide": dot(M_12, Yp / (norm(Yp) + EPS)[..., None]),
+            "rise": dot(M_12, Zm),
+            "inclination": np.arcsin(dot(Zh, X_1)),
+            "tip": -np.arcsin(dot(Zh, Y_1)),
+            "helical_twist": -np.arccos(dot(np.cross(X_1, Zh),
+                                            np.cross(X_2, Zh))),
+            "x_disp": dot(M_12, Xn / (norm(Xn) + EPS)[..., None]),
+            "y_disp": dot(M_12, Yn / (norm(Yn) + EPS)[..., None]),
+            "helical_rise": -dot(M_12, Zh),
+        }
+    for k, v in vals.items():
+        acc = np.zeros(n_na, np.float64)
+        np.add.at(acc, I1, v)
+        np.add.at(acc, I2, v)
+        out[k] = (acc / (avg + EPS)).astype(np.float32)
+    return out
 
 
 def get_base_pair_mask_and_index(S, X, X_m, rna_mask, atom_dict=None,

@@ -102,3 +102,41 @@ def test_interface_masks(cropped_1am9):
     na = (d["dna_mask"] + d["rna_mask"]).astype(bool)
     pointed = nearest_sc[na & (sc_interface == 1)]
     assert np.all(d["protein_mask"][pointed[pointed > 0]] == 1)
+
+
+def test_helical_params_parity(cropped_1am9):
+    """helical_params vs the reference oracle with compute_helical_params=True
+    (reference data/preprocess_dataset.py:483-631) on the real DNA duplex."""
+    import torch
+
+    from na_mpnn_tpu.data.preprocess import (HELICAL_PARAM_NAMES,
+                                             helical_params)
+
+    d = cropped_1am9
+    atom_dict = dict(constants.ALL_ATOM_ORDER)
+    S_rfaa, X_rfaa = convert_mpnn_representation(
+        d["S"], d["X"], d["X_m"], d["rna_mask"], atom_dict)
+
+    HB_data = load_ref_hb_data_class()
+    hb = HB_data(torch.tensor(S_rfaa), torch.tensor(X_rfaa),
+                 compute_paired_bases=True, compute_helical_params=True)
+
+    ours = helical_params(S_rfaa, X_rfaa)
+    ref_attr = {"tilt": "tilt_i", "roll": "roll_i", "twist": "twist_i",
+                "shift": "shift_i", "slide": "slide_i", "rise": "rise_i",
+                "inclination": "inclination_i", "tip": "tip_i",
+                "helical_twist": "helical_twist_i", "x_disp": "x_disp_i",
+                "y_disp": "y_disp_i", "helical_rise": "helical_rise_i"}
+    n_checked = 0
+    for name in HELICAL_PARAM_NAMES:
+        ref = getattr(hb, ref_attr[name]).numpy()
+        v = ours[name]
+        assert v.shape == ref.shape
+        both = np.isfinite(ref) & np.isfinite(v)
+        np.testing.assert_array_equal(np.isfinite(v), np.isfinite(ref))
+        np.testing.assert_allclose(v[both], ref[both], atol=2e-4)
+        n_checked += int(both.sum())
+    assert n_checked > 0
+    # A B-form DNA duplex twists ~0.6 rad/step on average.
+    tw = ours["twist"][np.isfinite(ours["twist"]) & (ours["twist"] != 0)]
+    assert tw.size > 0 and 0.2 < np.median(np.abs(tw)) < 1.2
