@@ -34,11 +34,11 @@ def list_checkpoints(checkpoint_dir: str) -> List[str]:
     """All s_<step> checkpoints (.npz native or .pt reference format),
     sorted by step."""
     paths = []
-    for ext in ("npz", "pt"):
+    for ext in ("npz", "pt", "orbax"):
         paths.extend(glob.glob(os.path.join(checkpoint_dir, f"s_*.{ext}")))
 
     def step_of(p):
-        m = re.search(r"s_(\d+)\.(npz|pt)$", os.path.basename(p))
+        m = re.search(r"s_(\d+)\.(npz|pt|orbax)$", os.path.basename(p))
         return int(m.group(1)) if m else -1
 
     return sorted((p for p in paths if step_of(p) >= 0), key=step_of)

@@ -1,8 +1,13 @@
 """Checkpoint I/O.
 
-Two formats:
+Three formats:
 * native ``.npz`` — flattened parameter pytree (+ optimizer state / counters),
-  dependency-free and fast;
+  dependency-free and fast; the single-host default;
+* ``orbax`` directory checkpoints — save sharded ``jax.Array`` trees directly
+  (each host writes its own shards; no host-0 gather) and restore under a new
+  device topology. The multi-host-scale replacement for the reference's
+  ``torch.save`` contract (na_run.py:339-353); enable with config key
+  ``CHECKPOINT_FORMAT: "orbax"``;
 * legacy reference ``.pt`` — torch checkpoints
   ({'model_state_dict', 'optimizer_state_dict', 'epoch', 'step', 'save_step'};
   reference na_run.py:339-353), loadable and writable for interchange.
@@ -77,12 +82,59 @@ def load_checkpoint_npz(path: str) -> Tuple[Any, Dict, Dict[str, np.ndarray]]:
     return unflatten_pytree(params_flat), meta, opt_flat
 
 
+_ORBAX_META = "na_mpnn_meta.json"
+
+
+def save_checkpoint_orbax(path: str, params, meta: Optional[Dict] = None,
+                          opt_state=None):
+    """Write a directory checkpoint via orbax. ``params`` / ``opt_state``
+    may hold live (sharded) jax.Arrays — orbax writes each host's
+    addressable shards; there is no host-side gather."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    tree = {"params": params}
+    if opt_state is not None:
+        import jax
+        tree["opt"] = {f"leaf{i:04d}": v
+                       for i, v in enumerate(jax.tree.leaves(opt_state))}
+    tmp = path + ".tmp"
+    for stale in (tmp, path):
+        if os.path.isdir(stale) and stale == tmp:
+            shutil.rmtree(stale)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(tmp, tree, force=True)
+    with open(os.path.join(tmp, _ORBAX_META), "w") as f:
+        json.dump(meta or {}, f)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def load_checkpoint_orbax(path: str) -> Tuple[Any, Dict, Dict[str, np.ndarray]]:
+    """Restore (params, meta, opt_flat) from an orbax directory checkpoint
+    (opt_flat uses the same leaf-indexed layout as the .npz format)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    meta_path = os.path.join(path, _ORBAX_META)
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    return tree["params"], meta, dict(tree.get("opt", {}))
+
+
 def load_params_any(path: str, cfg: ModelConfig):
-    """Load model parameters from either a native .npz or a reference .pt
-    checkpoint. Returns (params, meta)."""
+    """Load model parameters from a native .npz, an orbax directory, or a
+    reference .pt checkpoint. Returns (params, meta)."""
     if path.endswith(".pt") or path.endswith(".pth"):
         from ..models.torch_import import load_torch_checkpoint
         return load_torch_checkpoint(path, cfg)
+    if os.path.isdir(path):
+        params, meta, _ = load_checkpoint_orbax(path)
+        return params, meta
     params, meta, _ = load_checkpoint_npz(path)
     return params, meta
 

@@ -206,17 +206,27 @@ class Trainer:
     # -- checkpointing -------------------------------------------------------
 
     def save(self, path: str, epoch: int, save_step: int):
+        meta = {"epoch": epoch, "step": self.step, "save_step": save_step}
+        if not path.endswith(".npz"):
+            # Orbax directory checkpoint: hand over the live (possibly
+            # sharded) jax.Arrays — every host writes its own shards.
+            from .checkpoint import save_checkpoint_orbax
+            save_checkpoint_orbax(path, self.params, meta=meta,
+                                  opt_state=self.opt_state)
+            return
         # Optimizer state is stored by leaf position — optax states contain
         # empty containers that a name-based flattening cannot round-trip.
         opt_flat = {f"leaf{i:04d}": np.asarray(v)
                     for i, v in enumerate(jax.tree.leaves(self.opt_state))}
         save_checkpoint_npz(path, jax.tree.map(np.asarray, self.params),
-                            meta={"epoch": epoch, "step": self.step,
-                                  "save_step": save_step},
-                            opt_state_flat=opt_flat)
+                            meta=meta, opt_state_flat=opt_flat)
 
     def restore(self, path: str) -> Dict:
-        params, meta, opt_flat = load_checkpoint_npz(path)
+        if os.path.isdir(path):
+            from .checkpoint import load_checkpoint_orbax
+            params, meta, opt_flat = load_checkpoint_orbax(path)
+        else:
+            params, meta, opt_flat = load_checkpoint_npz(path)
         self.params = jax.tree.map(jnp.asarray, params)
         if opt_flat:
             flat_target, treedef = jax.tree.flatten(self.opt_state)
@@ -388,10 +398,11 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
                                 **metric_manager.as_dict()}) + "\n")
         print(out_str)
 
-        trainer.save(base + "last.npz", epoch + 1, save_step)
+        ext = ".orbax" if p.get("CHECKPOINT_FORMAT") == "orbax" else ".npz"
+        trainer.save(base + "last" + ext, epoch + 1, save_step)
         if trainer.step > save_step + p["SAVE_EVERY_N_STEPS"]:
             save_step += p["SAVE_EVERY_N_STEPS"]
-            trainer.save(base + f"s_{trainer.step}.npz", epoch + 1, save_step)
+            trainer.save(base + f"s_{trainer.step}{ext}", epoch + 1, save_step)
         epoch += 1
         if trainer.step > total_steps:
             break

@@ -176,3 +176,48 @@ def test_prefetch_loader_workers(mini_dataset):
     for a, b in zip(inline, pooled):
         np.testing.assert_array_equal(a["X"], b["X"])
         np.testing.assert_array_equal(a["S"], b["S"])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax directory checkpoints (CHECKPOINT_FORMAT=orbax): Trainer.save
+    writes live jax.Arrays + meta + leaf-indexed optimizer state; restore and
+    load_params_any round-trip exactly."""
+    import jax
+    import jax.numpy as jnp
+    from na_mpnn_tpu.models import ModelConfig
+    from na_mpnn_tpu.train.checkpoint import load_params_any
+    from na_mpnn_tpu.train.trainer import Trainer
+
+    cfg = ModelConfig(hidden_dim=32, num_encoder_layers=1,
+                      num_decoder_layers=1, k_neighbors=8)
+    trainer = Trainer(cfg, seed=0)
+    trainer.step = 13
+    path = str(tmp_path / "s_13.orbax")
+    trainer.save(path, epoch=2, save_step=10)
+    assert os.path.isdir(path)
+
+    ref_params = jax.tree.map(np.asarray, trainer.params)
+    ref_opt = [np.asarray(v) for v in jax.tree.leaves(trainer.opt_state)]
+
+    # clobber, then restore
+    trainer.params = jax.tree.map(lambda v: v * 0, trainer.params)
+    trainer.opt_state = jax.tree.map(lambda v: v * 0 if hasattr(v, "dtype")
+                                     else v, trainer.opt_state)
+    trainer.step = 0
+    meta = trainer.restore(path)
+    assert trainer.step == 13 and int(meta["epoch"]) == 2 \
+        and int(meta["save_step"]) == 10
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 trainer.params, ref_params)
+    for got, want in zip(jax.tree.leaves(trainer.opt_state), ref_opt):
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    # the generic loader accepts the directory format too
+    params2, meta2 = load_params_any(path, cfg)
+    assert int(meta2["step"]) == 13
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 params2, ref_params)
+
+    # overwrite in place (the last.orbax every-epoch pattern)
+    trainer.save(path, epoch=3, save_step=12)
+    assert int(trainer.restore(path)["epoch"]) == 3
