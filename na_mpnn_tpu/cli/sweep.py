@@ -14,8 +14,8 @@ per-checkpoint metric table plus the argmax.
         --num_samples 10 --temperature 0.1 --out sweep.json
 
 CSV columns: ``structure_path`` (PDB files); specificity mode additionally
-uses ``reference_ppms`` (the reference's PPM list-string format consumed by
-data.dataset.load_ppms). Shard across machines with --modulo/--remainder
+uses ``ppm_paths`` (the reference's PPM list-string format consumed by
+data.dataset.load_ppms; the older ``reference_ppms`` spelling is accepted). Shard across machines with --modulo/--remainder
 like the reference's array jobs (data/preprocess_dataset.sh pattern).
 """
 from __future__ import annotations
@@ -51,9 +51,10 @@ def _structure_rows(structures_csv: str, split: Optional[str],
 
     df = pd.read_csv(structures_csv)
     if split:
-        ids = load_design_split(split) if split.endswith(".json") else None
-        if ids is not None:
-            df = filter_dataframe_by_split(df, ids)
+        if not split.endswith(".json"):
+            raise ValueError(
+                f"--split expects a released split JSON, got: {split}")
+        df = filter_dataframe_by_split(df, load_design_split(split))
     rows = df.reset_index(drop=True)
     return rows[(rows.index % modulo) == remainder]
 
@@ -101,7 +102,11 @@ def score_specificity_checkpoint(checkpoint_path: str, rows,
             number_of_batches=1, temperature=temperature,
             na_mpnn_model_path=checkpoint_path, seed=seed,
             pad_to_bucket=pad_to_bucket)
-        reference_ppms, _ = load_ppms(row["reference_ppms"],
+        # The specificity-CSV contract column is "ppm_paths"
+        # (dataset_recipes.attach_ppm_paths, EVALUATION.md); accept the older
+        # "reference_ppms" spelling too.
+        ppm_col = "ppm_paths" if "ppm_paths" in row else "reference_ppms"
+        reference_ppms, _ = load_ppms(row[ppm_col],
                                       randomize_experimental_ppms=False)
         result = score_specificity_arrays(
             reference_ppms,

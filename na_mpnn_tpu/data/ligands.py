@@ -121,24 +121,33 @@ def leaving_group_of(aname: str, G) -> List[str]:
 def find_automorphisms(atom_ids: Sequence[str], elements: Sequence[str],
                        bonds: Sequence[Tuple[str, str]],
                        leaving: Optional[Sequence[bool]] = None,
-                       max_count: int = 1000) -> List[List[str]]:
-    """Element- and adjacency-preserving automorphisms of the heavy-atom
-    graph, as rows of atom names; only columns with alternative mappings are
-    retained, and mappings that move leaving atoms are dropped (reference
-    FindAutomorphisms + filtering, obutils.py:15-87 + cifutils.py:262-270).
-    Row 0 is the identity on the retained columns."""
+                       max_count: int = 1000,
+                       charges: Optional[Sequence[int]] = None,
+                       bond_orders: Optional[Sequence[int]] = None) -> List[List[str]]:
+    """Chemically-valid automorphisms of the heavy-atom graph, as rows of
+    atom names: mappings must preserve element, formal charge, adjacency,
+    and bond order (OpenBabel's symmetry classes carry the same invariants;
+    reference FindAutomorphisms, obutils.py:15-87). Only columns with
+    alternative mappings are retained, and — like the reference
+    (cifutils.py:262-270) — every row whose retained columns contain a
+    leaving atom is dropped, including the identity row."""
     import networkx as nx
     from networkx.algorithms import isomorphism
 
     elem = dict(zip(atom_ids, elements))
+    chg = dict(zip(atom_ids, charges)) if charges is not None else {}
     heavy = [a for a in atom_ids if elem[a].upper() not in ("H", "D")]
     hset = set(heavy)
     G = nx.Graph()
-    G.add_nodes_from((a, {"el": elem[a].upper()}) for a in heavy)
-    G.add_edges_from((a, b) for a, b in bonds if a in hset and b in hset)
+    G.add_nodes_from((a, {"el": elem[a].upper(), "q": chg.get(a, 0)})
+                     for a in heavy)
+    orders = list(bond_orders) if bond_orders is not None else [1] * len(bonds)
+    G.add_edges_from((a, b, {"o": o}) for (a, b), o in zip(bonds, orders)
+                     if a in hset and b in hset)
 
     gm = isomorphism.GraphMatcher(
-        G, G, node_match=lambda x, y: x["el"] == y["el"])
+        G, G, node_match=lambda x, y: x["el"] == y["el"] and x["q"] == y["q"],
+        edge_match=lambda x, y: x["o"] == y["o"])
     autos = []
     for mapping in gm.isomorphisms_iter():
         autos.append([mapping[a] for a in heavy])
@@ -209,7 +218,9 @@ def build_residue(raw: Dict) -> LigandResidue:
         [a["atom_id"] for a in atoms_raw],
         [a["symbol"] for a in atoms_raw],
         [(b["a"], b["b"]) for b in bonds_raw],
-        [a["leaving"] for a in atoms_raw])
+        [a["leaving"] for a in atoms_raw],
+        charges=[a["charge"] for a in atoms_raw],
+        bond_orders=[b["order"] for b in bonds_raw])
 
     chirals = [a["atom_id"] for a in atoms_raw if a["stereo"] in ("R", "S")]
     heavy_deg = {a: sum(1 for nb in neighbors[a]

@@ -287,14 +287,11 @@ def process_reference_monomer_rna(reference_structure_path,
     ref_json_dir = os.path.join(output_directory, "reference_json")
     os.makedirs(ref_json_dir)
 
+    # run_dssr already standardizes sequence + secondary structure.
     dssr_output = run_dssr(reference_structure_path)
-    dssr_output["sequence"] = scoring.standardize_rna_sequence(
-        dssr_output["sequence"], method="dssr")
     scoring.check_rna_sequence_validity(dssr_output["sequence"],
                                         unknown_residue_allowed=True,
                                         chain_breaks_allowed=False)
-    dssr_output["secondary_structure"] = scoring.standardize_secondary_structure(
-        dssr_output["secondary_structure"], method="dssr")
     dssr_output.pop("raw", None)
     dssr_output.pop("stdout", None)
 
@@ -483,6 +480,15 @@ def score_design_monomer_rna(reference_path, subject_path,
             reference.get("reference_structure_path", "")):
         ref_c1 = load_atom_coords(reference["reference_structure_path"], "C1'")
         sub_c1 = load_atom_coords(af3["predicted_structure_path"], "C1'")
+        # Like the reference (na_eval_utils.py:3152-3157), every C1' atom in
+        # the file is used — ligand C1' atoms or missing atoms make the count
+        # disagree with the DSSR sequence and misregister the window scan.
+        # Warn loudly instead of silently scoring the wrong residues.
+        if len(ref_c1) != ref_seq_len:
+            print(f"WARNING: {len(ref_c1)} C1' atoms in "
+                  f"{reference['reference_structure_path']} but DSSR "
+                  f"sequence length {ref_seq_len}; window registration "
+                  "may be off (ligand C1' or missing atoms)")
 
     # Shorter subject: find the best-RMSD reference window, trim sequence,
     # secondary structure (pairs out of the window become loops), and coords.
@@ -491,9 +497,13 @@ def score_design_monomer_rna(reference_path, subject_path,
         if ref_c1 is not None and sub_c1 is not None:
             for start in range(ref_seq_len - subject_len + 1):
                 window = ref_c1[start:start + subject_len]
+                if len(window) != len(sub_c1):  # atom/sequence count mismatch
+                    continue
                 r = superimposed_rmsd(window, sub_c1)
                 if best[0] is None or r < best[0]:
                     best = (r, start)
+            if best[0] is None:
+                best = (None, 0)
         else:
             best = (None, 0)
         start = best[1]

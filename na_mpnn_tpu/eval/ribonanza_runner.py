@@ -185,14 +185,15 @@ def load_model(mode: str):
 
 
 def predict_reactivity_profile(sequence: str, model, batch_size: int = 1) -> Dict:
+    # The model is deterministic in eval mode (the reference's own loop,
+    # run_ribonanza_net.py:119-131, produces batch_size identical samples);
+    # compute once and replicate to keep the same output contract.
     import torch
     seq = _sequence_tensor(sequence)
-    p2a3, pdms = [], []
-    for _ in range(batch_size):
-        with torch.no_grad():
-            out = model(seq, torch.ones_like(seq))
-        p2a3.append(out.numpy()[0, :, 0].tolist())
-        pdms.append(out.numpy()[0, :, 1].tolist())
+    with torch.no_grad():
+        out = model(seq, torch.ones_like(seq)).numpy()
+    p2a3 = [out[0, :, 0].tolist()] * batch_size
+    pdms = [out[0, :, 1].tolist()] * batch_size
     return {"predicted_2A3_reactivity_profiles": p2a3,
             "predicted_DMS_reactivity_profiles": pdms}
 
@@ -200,20 +201,18 @@ def predict_reactivity_profile(sequence: str, model, batch_size: int = 1) -> Dic
 def predict_secondary_structure(sequence: str, model, batch_size: int = 1,
                                 theta: float = 0.5,
                                 min_len_helix: int = 1) -> Dict:
+    # Deterministic in eval mode (the 2D head wraps Dropout(0.0), mirroring
+    # the reference run_ribonanza_net.py:78-90,170-181): one inference +
+    # one Hungarian extraction, replicated to keep the output contract.
     import torch
     seq = _sequence_tensor(sequence)
-    sss, bps, mats = [], [], []
-    for _ in range(batch_size):
-        with torch.no_grad():
-            logits = model(seq).sigmoid().numpy()[0]
-        ss, pairs, mat = extract_secondary_structure(
-            logits, theta=theta, min_len_helix=min_len_helix)
-        sss.append(ss)
-        bps.append(pairs)
-        mats.append(mat)
-    return {"predicted_secondary_structures": sss,
-            "predicted_base_pairs": bps,
-            "predicted_base_pair_matrix": mats}
+    with torch.no_grad():
+        logits = model(seq).sigmoid().numpy()[0]
+    ss, pairs, mat = extract_secondary_structure(
+        logits, theta=theta, min_len_helix=min_len_helix)
+    return {"predicted_secondary_structures": [ss] * batch_size,
+            "predicted_base_pairs": [pairs] * batch_size,
+            "predicted_base_pair_matrix": [mat] * batch_size}
 
 
 def main(argv=None):

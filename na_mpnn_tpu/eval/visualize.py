@@ -229,7 +229,8 @@ def experimental_results_summary(csv_path: str, methods=None, rounds=None,
                  else sorted(df[method_col].unique()))
         data = [df[df[method_col] == m][score_col].dropna() for m in order]
         fig, ax = plt.subplots(figsize=(1.0 + 0.9 * len(order), 3.2))
-        ax.boxplot(data, tick_labels=order, showfliers=False)
+        ax.boxplot(data, showfliers=False)
+        ax.set_xticks(range(1, len(order) + 1), order)  # portable across mpl versions
         for i, vals in enumerate(data):
             if len(vals):
                 x = np.random.RandomState(0).normal(i + 1, 0.06, len(vals))

@@ -41,7 +41,8 @@ Negative result (measured, do not re-attempt): building the per-edge
 coordinate/mask operands *inside* the kernel from VMEM-resident node tables
 via one-hot selection matmuls (the design that wins in ops.message_kernels)
 LOSES here — 10.1 ms vs 6.1 ms for the dense-operand path at B=8, L=768,
-K=32, same process, interleaved (scripts/ab_rbf_table.py). The selected
+K=32, same process, interleaved (A/B harness + table kernel live at git
+history commit 02e0417; removed once the result was in). The selected
 operand is only 4A=72+18 columns wide, so the [TILE, L] @ [L, 4A] selection
 matmuls (~27 GFLOP/fwd, fp32-HIGHEST because the table holds raw
 coordinates) cost far more than the ~70 MB HBM gather they replace. The

@@ -101,9 +101,8 @@ def save_checkpoint_orbax(path: str, params, meta: Optional[Dict] = None,
         tree["opt"] = {f"leaf{i:04d}": v
                        for i, v in enumerate(jax.tree.leaves(opt_state))}
     tmp = path + ".tmp"
-    for stale in (tmp, path):
-        if os.path.isdir(stale) and stale == tmp:
-            shutil.rmtree(stale)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, tree, force=True)
     with open(os.path.join(tmp, _ORBAX_META), "w") as f:

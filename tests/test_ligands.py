@@ -254,3 +254,15 @@ def test_save_all_roundtrip(tmp_path):
     single = str(tmp_path / "single.pdb")
     save_chain(chains["A"], single)
     assert len(read_pdb_atoms(single, use_native=False)) == len(chains["A"].atoms)
+
+
+def test_automorphisms_respect_charge_and_bond_order(tmp_path):
+    """O3 (P=O double bond, charge 0) must not swap with O1/O2 (single bond,
+    charge -1) — element-only matching would wrongly permute them (OpenBabel
+    symmetry classes carry charge + bond order)."""
+    res = build_residue(parse_chem_comp_cif(_write(tmp_path, "PX4.cif", PO4_CIF)))
+    autos = np.asarray(res.automorphisms)
+    assert autos.shape[0] == 2          # identity + O1<->O2 only
+    assert not any("O3" in row for row in autos.tolist())
+    swapped = [row for row in autos.tolist() if row != autos[0].tolist()]
+    assert swapped and set(swapped[0]) == {"O1", "O2"}
