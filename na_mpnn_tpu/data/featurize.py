@@ -26,7 +26,7 @@ def renumber_duplicate_resnums(R_idx: np.ndarray) -> np.ndarray:
 
 
 def featurize_inference(parsed: Dict, chain_mask: np.ndarray,
-                        pad_to: int = 0) -> Dict:
+                        pad_to: int = 0, as_numpy: bool = False) -> Dict:
     """Add batch dims + renumber R_idx -> model-ready jnp batch
     (reference inference/data_utils.py:407-439).
 
@@ -37,7 +37,12 @@ def featurize_inference(parsed: Dict, chain_mask: np.ndarray,
     Padded rows are excluded from the kNN graph by the masked distance
     adjustment and from every loss/score by the mask products; callers
     truncate sampled outputs back to L.
+
+    as_numpy=True keeps everything host-side (numpy) — batching callers
+    stack many structures first and upload once, instead of paying a
+    device round-trip per structure.
     """
+    lib = np if as_numpy else jnp
     L = len(parsed["S"])
     pad = max(int(pad_to) - L, 0)
 
@@ -57,14 +62,14 @@ def featurize_inference(parsed: Dict, chain_mask: np.ndarray,
                           fill=int(chain_labels.max()) + 1 if pad else 0)
 
     batch = {}
-    batch["R_idx"] = jnp.asarray(R_idx)[None]
-    batch["R_idx_original"] = jnp.asarray(padded(parsed["R_idx"]))[None]
-    batch["chain_labels"] = jnp.asarray(chain_labels)[None]
+    batch["R_idx"] = lib.asarray(R_idx)[None]
+    batch["R_idx_original"] = lib.asarray(padded(parsed["R_idx"]))[None]
+    batch["chain_labels"] = lib.asarray(chain_labels)[None]
     for k in ["S", "mask", "protein_mask", "dna_mask", "rna_mask",
               "rna_mask_for_token_conversion", "R_polymer_type", "X", "X_m",
               "xyz_65", "xyz_65_m"]:
-        batch[k] = jnp.asarray(padded(parsed[k]))[None]
-    batch["chain_mask"] = jnp.asarray(padded(chain_mask))[None]
+        batch[k] = lib.asarray(padded(parsed[k]))[None]
+    batch["chain_mask"] = lib.asarray(padded(chain_mask))[None]
     return batch
 
 

@@ -522,6 +522,59 @@ def sample(params, cfg: ModelConfig, batch, key, num_samples: int = 1,
         decoding_order = jnp.broadcast_to(batch["decoding_order"], (B, L))
     else:
         decoding_order = sample_decoding_order(key_order, chain_mask)
+
+    if bias is not None:
+        bias = jnp.broadcast_to(bias, (B, L, nl))
+    return _sample_scan(params, cfg, h_V0, h_E, E_idx, mask, chain_mask,
+                        S_true, decoding_order, key_steps, temperature, bias,
+                        pair_bias_ctx)
+
+
+def sample_multi(params, cfg: ModelConfig, batch, key,
+                 samples_per_structure: int = 1, temperature=0.1, bias=None):
+    """Batched multi-structure sampling: `batch` holds N different (padded)
+    structures; every structure is encoded in one batched pass, each row is
+    replicated `samples_per_structure` times, and all N*S designs decode in
+    one lax.scan. TPU-side throughput feature — the reference designs one
+    PDB per process (inference/run.py) and scales by Slurm array
+    (evaluation_cmds.txt:104-108); here one chip amortizes the whole batch.
+
+    `bias` is [N,L,num_letters] per structure (or [L,num_letters] shared).
+    Neighbor pair bias is not supported here (its adjacency diagonal is
+    per-structure; use `sample` for that). Returns the same dict as
+    `sample` with leading dim N*S, ordered structure-major
+    (rows i*S..(i+1)*S-1 belong to structure i).
+    """
+    N, L = batch["S"].shape
+    S_rep = samples_per_structure
+    nl = cfg.num_letters
+    key_order, key_steps = jax.random.split(key)
+
+    h_V0, h_E, E_idx = encode(params, cfg, batch)
+
+    def rep(x):
+        return jnp.repeat(x, S_rep, axis=0)
+
+    h_V0, h_E, E_idx = rep(h_V0), rep(h_E), rep(E_idx)
+    mask = rep(batch["mask"].astype(jnp.float32))
+    chain_mask = mask * rep(batch["chain_mask"].astype(jnp.float32))
+    S_true = rep(batch["S"])
+    if bias is not None:
+        bias = jnp.broadcast_to(bias, (N, L, nl))
+        bias = rep(bias)
+    decoding_order = sample_decoding_order(key_order, chain_mask)
+    return _sample_scan(params, cfg, h_V0, h_E, E_idx, mask, chain_mask,
+                        S_true, decoding_order, key_steps, temperature, bias,
+                        None)
+
+
+def _sample_scan(params, cfg: ModelConfig, h_V0, h_E, E_idx, mask,
+                 chain_mask, S_true, decoding_order, key_steps, temperature,
+                 bias, pair_bias_ctx):
+    """Shared autoregressive decode scan over a fully-prepared decode batch
+    (every operand already [B,...])."""
+    B, L = mask.shape
+    nl = cfg.num_letters
     mask_bw, mask_fw = autoregressive_edge_masks(decoding_order, E_idx, mask)
 
     h_EX_encoder = cat_neighbors_nodes(jnp.zeros_like(h_V0), h_E, E_idx)

@@ -1,0 +1,81 @@
+"""Batched multi-structure design (eval/batch_design.py): many PDBs through
+one decode batch, per-structure FASTA outputs in the reference CLI format."""
+import os
+
+import numpy as np
+import pytest
+
+EXAMPLES = "/root/reference/inference/examples"
+
+
+@pytest.fixture(scope="module")
+def random_ckpt(tmp_path_factory):
+    import jax
+    from na_mpnn_tpu.models import ModelConfig, init_params
+    from na_mpnn_tpu.train.checkpoint import save_checkpoint_npz
+
+    cfg = ModelConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path_factory.mktemp("ckpt") / "model.npz")
+    save_checkpoint_npz(path, params, meta={"step": 0})
+    return path
+
+
+def test_design_structures_batched(random_ckpt, tmp_path):
+    from na_mpnn_tpu.eval.batch_design import design_structures
+    from na_mpnn_tpu.eval.harness import read_fasta_file
+
+    out = str(tmp_path / "bd")
+    res = design_structures(
+        [f"{EXAMPLES}/4oqu.pdb", f"{EXAMPLES}/1am9.pdb"],
+        random_ckpt, out, samples_per_structure=2,
+        batch_structures=4,            # both groups padded with dummy rows
+        seed=11)
+    assert set(res) == {"4oqu", "1am9"}
+
+    # 4oqu: RNA monomer, protein letters omitted by default -> pure RNA chars
+    entries = read_fasta_file(res["4oqu"]["fasta_path"])
+    assert len(entries) == 3          # native + 2 samples
+    for header, seq in entries[1:]:
+        assert len(seq) == 97
+        assert set(seq) <= set("bdhu"), seq
+        assert "seq_rec=" in header and "overall_confidence=" in header
+
+    # 1am9: protein-DNA complex with design_na_only -> protein rows keep
+    # the native sequence, designed rows are DNA letters
+    native = read_fasta_file(res["1am9"]["fasta_path"])[0][1].replace("/", "")
+    for _, seq in read_fasta_file(res["1am9"]["fasta_path"])[1:]:
+        flat = seq.replace("/", "")
+        assert len(flat) == 389
+        diffs = [i for i, (a, b) in enumerate(zip(flat, native)) if a != b]
+        assert diffs, "nothing designed?"
+        # design_na_only: every changed position is NA<->NA (shared DNA
+        # tokens print a/c/g/t; b/d/h/u appear only via the O2' RNA
+        # conversion) -- protein rows stay native.
+        na_chars = set("acgtbdhuxX")
+        assert all(native[i] in na_chars and flat[i] in na_chars
+                   for i in diffs)
+    assert all(0.0 <= r <= 1.0 for r in res["1am9"]["seq_rec"])
+
+    # reproducibility: same seed -> same designs
+    out2 = str(tmp_path / "bd2")
+    res2 = design_structures(
+        [f"{EXAMPLES}/4oqu.pdb", f"{EXAMPLES}/1am9.pdb"],
+        random_ckpt, out2, samples_per_structure=2, batch_structures=4,
+        seed=11)
+    assert open(res["4oqu"]["fasta_path"]).read() \
+        == open(res2["4oqu"]["fasta_path"]).read()
+
+
+def test_batch_design_cli(random_ckpt, tmp_path):
+    import pandas as pd
+    from na_mpnn_tpu.eval.batch_design import main
+
+    csv = tmp_path / "structs.csv"
+    pd.DataFrame({"structure_path": [f"{EXAMPLES}/4oqu.pdb"]}).to_csv(
+        csv, index=False)
+    out = str(tmp_path / "cli_out")
+    main(["--csv", str(csv), "--checkpoint", random_ckpt,
+          "--out_folder", out, "--samples", "1", "--seed", "3",
+          "--batch_structures", "2"])
+    assert os.path.exists(out + "/seqs/4oqu.fa")
