@@ -32,6 +32,10 @@ class ModelConfig:
     decode_protein_first: bool = False
     na_ref_atom: str = "C1'"
     include_pred_na_N: bool = True
+    # Atom table the input X is laid out in: "backbone" (16-atom, used by the
+    # released checkpoints) or "all" (65-atom; reference na_run.py:34-41 via
+    # ATOMS_TO_LOAD). Named-atom lookups and the edge-in dimension follow it.
+    atom_table: str = "backbone"
     num_polytypes: int = constants.NUM_POLYTYPES  # 6
     # Compute dtype for the MPNN trunk ("float32" or "bfloat16"). Parameters
     # and layer-norm statistics stay fp32; bf16 feeds the MXU at 2x rate.
@@ -45,9 +49,14 @@ class ModelConfig:
     rbf_mode: str = "classed"
 
     @property
+    def atom_dict(self):
+        return (constants.ATOM_DICT if self.atom_table == "backbone"
+                else constants.ALL_ATOM_ORDER)
+
+    @property
     def total_atoms(self) -> int:
-        # 16 backbone atoms + virtual Cb + (optionally) virtual base-N.
-        return constants.NUM_BACKBONE_ATOMS + 1 + (1 if self.include_pred_na_N else 0)
+        # table atoms + virtual Cb + (optionally) virtual base-N.
+        return len(self.atom_dict) + 1 + (1 if self.include_pred_na_N else 0)
 
     @property
     def edge_in(self) -> int:
@@ -60,4 +69,4 @@ class ModelConfig:
 
     @property
     def na_ref_atom_idx(self) -> int:
-        return constants.ATOM_DICT[self.na_ref_atom]
+        return self.atom_dict[self.na_ref_atom]

@@ -108,7 +108,7 @@ def build_augmented_atoms(X, X_m, batch, cfg: ModelConfig):
     two are disjoint, so the sum is the residue center; reference
     na_model_utils.py:472-497).
     """
-    ad = constants.ATOM_DICT
+    ad = cfg.atom_dict
     N = X[:, :, ad["N"], :]
     Ca = X[:, :, ad["CA"], :]
     C = X[:, :, ad["C"], :]
@@ -187,7 +187,9 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     # [B,L,K,5184] tensor never reaches HBM).
     n_pos = cfg.num_positional_embeddings
     W = p["edge_embedding"]["w"]
-    if use_pallas:
+    # The fused RBF kernels are specialized to the 18-atom backbone layout;
+    # the 67-atom "all" table takes the shape-generic XLA path.
+    if use_pallas and cfg.atom_table == "backbone":
         from ..ops import interpret_mode
         compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if cfg.rbf_mode == "classed":

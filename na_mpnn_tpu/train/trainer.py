@@ -54,6 +54,10 @@ def model_config_from_params(params: Dict) -> ModelConfig:
         decode_protein_first=bool(params.get("DECODE_PROTEIN_FIRST", 0)),
         na_ref_atom=params.get("NA_REF_ATOM", "C1'"),
         include_pred_na_N=bool(params.get("INCLUDE_PRED_NA_N", 1)),
+        # MIXED_PRECISION (na_run.py:216-237 AMP) -> bf16 trunk policy.
+        compute_dtype=("bfloat16" if params.get("MIXED_PRECISION", 1)
+                       else "float32"),
+        atom_table=params.get("ATOMS_TO_LOAD", "backbone"),
     )
 
 
@@ -266,7 +270,11 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
     from ..data.dataset import DatasetConfig, NADataset, make_batch_iter
     from ..data.parsers import make_parsers
 
+    from .. import constants
+    atoms = (constants.ALL_ATOMS if p.get("ATOMS_TO_LOAD") == "all"
+             else constants.BACKBONE_ATOMS)  # reference na_run.py:34-41
     ds_cfg = DatasetConfig(
+        atom_list_to_save=tuple(atoms),
         parse_protein=bool(p["PARSE_PROTEIN"]), parse_dna=bool(p["PARSE_DNA"]),
         parse_rna=bool(p["PARSE_RNA"]),
         parse_rna_as_dna=bool(p["PARSE_RNA_AS_DNA"]),
