@@ -1,41 +1,44 @@
-"""Batched multi-structure design: many PDBs through one chip in one pass.
+"""Batched multi-structure inference: many PDBs through one chip in one pass.
 
 The reference designs one structure per process and scales out with Slurm
 arrays (200 tasks x 20 min CPU for its 1373-structure design test set;
 reference evaluation/evaluation_cmds.txt:104-108, rna_design_scripts/
-design_sequences.sh). On TPU the economics invert: one chip decodes a whole
-batch of structures at once, and XLA executables are reused across batches.
-This driver:
+design_sequences.sh; 288 tasks for the specificity test set, :180-183). On
+TPU the economics invert: one chip decodes a whole batch of structures at
+once, and XLA executables are reused across batches. This driver:
 
 1. parses every input PDB (host side),
 2. buckets structures by padded length (``bucket`` granularity — one
    compiled executable per bucket, exactly like ``--pad_to_bucket``),
 3. packs up to ``batch_structures`` structures per decode batch, replicating
    each ``samples_per_structure`` times (models.sample_multi),
-4. writes the same per-structure ``seqs/<name>.fa`` files as cli/run.
-
-Output FASTA format matches the reference design CLI (inference/run.py:
-445-516) so downstream eval pipelines parse it unchanged.
+4. post-processes per structure:
+   * ``design_structures`` writes the same per-structure ``seqs/<name>.fa``
+     files as cli/run (reference FASTA format, inference/run.py:445-516);
+   * ``predict_specificities`` writes the same ``specificity/<name>.npz``
+     (predicted_ppm = mean sampling distribution; inference/run.py:426-443).
 
 Usage:
     python -m na_mpnn_tpu.eval.batch_design --csv structures.csv \
         --checkpoint model.npz --out_folder out/ --samples 4
+    python -m na_mpnn_tpu.eval.batch_design --csv structures.csv \
+        --checkpoint model.npz --out_folder out/ --mode specificity
 """
 from __future__ import annotations
 
 import argparse
 import functools
 import os
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_sampler(cfg, s_rep: int, temperature: float):
-    """Jitted sampler cached across design_structures calls (ModelConfig is
-    a frozen dataclass, so it keys the cache); a fresh lambda per call would
-    re-trace every time."""
+    """Jitted sampler cached across calls (ModelConfig is a frozen dataclass,
+    so it keys the cache); a fresh lambda per call would re-trace every
+    time."""
     import jax
 
     from ..models.mpnn import sample_multi
@@ -65,15 +68,18 @@ def _dummy_like(feats: Dict) -> Dict:
     return out
 
 
-def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
-                      samples_per_structure: int = 1, temperature: float = 0.1,
-                      omit_AA: str = "ARNDCQEGHILKMFPSTWYVX",
-                      design_na_only: int = 1, bucket: int = 64,
-                      batch_structures: int = 8, seed: int = 0,
-                      na_shared_tokens: int = 1,
-                      file_ending: str = "") -> Dict[str, Dict]:
-    """Design sequences for every structure; returns
-    {name: {"seq_rec": [S], "confidence": [S], "fasta_path": str}}.
+def _run_batched(pdb_paths: List[str], checkpoint: str,
+                 per_structure: Callable,
+                 samples_per_structure: int, temperature: float,
+                 omit_AA: str, design_na_only: int, bucket: int,
+                 batch_structures: int, seed: int, na_shared_tokens: int):
+    """Shared packed-decode driver: parse -> bucket -> pack -> sample_multi,
+    then call ``per_structure(name, path, parsed, rows)`` for every input,
+    where ``rows`` carries that structure's slice of the decode outputs
+    (padded length; callers truncate to the true L):
+
+      S [S,Lp] int, log_probs [S,Lp,nl], sampling_probs [S,Lp,nl],
+      seq_rec [S], loss [S], rec_mask [Lp] (mask * chain_mask).
     """
     import jax
     import jax.numpy as jnp
@@ -88,16 +94,6 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
     params, _ = load_params_any(checkpoint, cfg)
     params = jax.tree.map(jnp.asarray, params)
 
-    os.makedirs(os.path.join(out_folder, "seqs"), exist_ok=True)
-
-    restype_to_int = constants.restype_to_int_table(bool(na_shared_tokens))
-    restype_STRtoINT = {constants.RESTYPE_3_TO_1[k]: v
-                        for k, v in restype_to_int.items()}
-    restype_INTtoSTR = {}
-    for k, v in restype_STRtoINT.items():
-        restype_INTtoSTR.setdefault(v, k)
-    dna_char_to_rna_char = dict(constants.DNA_CHAR_TO_RNA_CHAR) \
-        if na_shared_tokens else {}
     omit_list = omit_AA + ("bdhuy" if na_shared_tokens else "")
     omit = np.array([aa in omit_list for aa in constants.ALPHABET], np.float32)
     nl = constants.NUM_LETTERS
@@ -121,7 +117,6 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
 
     jit_sample = _jit_sampler(cfg, S_rep, float(temperature))
 
-    results: Dict[str, Dict] = {}
     for Lp in sorted(buckets):
         items = buckets[Lp]
         bias = jnp.asarray(np.tile(-1e8 * omit, (Lp, 1)))  # [Lp,nl]
@@ -149,51 +144,153 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
             loss, _ = get_score(out["S"], out["log_probs"], rec_mask_rep, nl)
             loss = np.asarray(loss)
             S_all = np.asarray(out["S"])
+            log_probs = np.asarray(out["log_probs"])
+            sampling_probs = np.asarray(out["sampling_probs"])
+            rec_mask_np = np.asarray(rec_mask)
 
             for i, (name, path, parsed) in enumerate(group):
-                L = len(parsed["S"])
-                rna_conv = np.asarray(parsed["rna_mask_for_token_conversion"])
+                sl = slice(i * S_rep, (i + 1) * S_rep)
+                rows = {
+                    "S": S_all[sl], "log_probs": log_probs[sl],
+                    "sampling_probs": sampling_probs[sl],
+                    "seq_rec": rec[sl], "loss": loss[sl],
+                    "rec_mask": rec_mask_np[i],
+                }
+                per_structure(name, path, parsed, rows)
 
-                def ints_to_seq(S_ints):
-                    chars = []
-                    for t, aa in enumerate(S_ints[:L]):
-                        ch = restype_INTtoSTR[int(aa)]
-                        if rna_conv[t] == 1:
-                            ch = dna_char_to_rna_char.get(ch, ch)
-                        chars.append(ch)
-                    return "".join(chars)
 
-                def by_chains(seq):
-                    arr = np.array(list(seq))
-                    return "/".join("".join(arr[m]) for m in parsed["mask_c"])
+def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
+                      samples_per_structure: int = 1, temperature: float = 0.1,
+                      omit_AA: str = "ARNDCQEGHILKMFPSTWYVX",
+                      design_na_only: int = 1, bucket: int = 64,
+                      batch_structures: int = 8, seed: int = 0,
+                      na_shared_tokens: int = 1,
+                      file_ending: str = "") -> Dict[str, Dict]:
+    """Design sequences for every structure; returns
+    {name: {"seq_rec": [S], "confidence": [S], "fasta_path": str}}.
+    """
+    from .. import constants
 
-                native = ints_to_seq(np.asarray(parsed["S"]))
-                n_design = int(np.asarray(rec_mask[i][:L]).sum())
-                entries = [
-                    f">{name}, T={temperature}, seed={seed}, "
-                    f"num_res={n_design}, batch_size={S_rep}, "
-                    f"number_of_batches=1, model_path={checkpoint}\n"
-                    f"{by_chains(native)}"]
-                recs, confs = [], []
-                for s in range(S_rep):
-                    row = i * S_rep + s
-                    seq = ints_to_seq(S_all[row])
-                    conf = float(np.exp(-loss[row]))
-                    recs.append(float(rec[row]))
-                    confs.append(conf)
-                    entries.append(
-                        f">{name}, id={s + 1}, T={temperature}, seed={seed}, "
-                        f"overall_confidence="
-                        f"{np.format_float_positional(conf, unique=False, precision=4)} "
-                        f"seq_rec="
-                        f"{np.format_float_positional(rec[row], unique=False, precision=4)}\n"
-                        f"{by_chains(seq)}")
-                fasta_path = os.path.join(out_folder, "seqs",
-                                          name + ".fa" + file_ending)
-                with open(fasta_path, "w") as f:
-                    f.write("\n".join(entries))
-                results[name] = {"seq_rec": recs, "confidence": confs,
-                                 "fasta_path": fasta_path}
+    os.makedirs(os.path.join(out_folder, "seqs"), exist_ok=True)
+
+    restype_to_int = constants.restype_to_int_table(bool(na_shared_tokens))
+    restype_STRtoINT = {constants.RESTYPE_3_TO_1[k]: v
+                        for k, v in restype_to_int.items()}
+    restype_INTtoSTR = {}
+    for k, v in restype_STRtoINT.items():
+        restype_INTtoSTR.setdefault(v, k)
+    dna_char_to_rna_char = dict(constants.DNA_CHAR_TO_RNA_CHAR) \
+        if na_shared_tokens else {}
+
+    results: Dict[str, Dict] = {}
+
+    def emit(name, path, parsed, rows):
+        L = len(parsed["S"])
+        rna_conv = np.asarray(parsed["rna_mask_for_token_conversion"])
+        S_rep = rows["S"].shape[0]
+
+        def ints_to_seq(S_ints):
+            chars = []
+            for t, aa in enumerate(S_ints[:L]):
+                ch = restype_INTtoSTR[int(aa)]
+                if rna_conv[t] == 1:
+                    ch = dna_char_to_rna_char.get(ch, ch)
+                chars.append(ch)
+            return "".join(chars)
+
+        def by_chains(seq):
+            arr = np.array(list(seq))
+            return "/".join("".join(arr[m]) for m in parsed["mask_c"])
+
+        native = ints_to_seq(np.asarray(parsed["S"]))
+        n_design = int(rows["rec_mask"][:L].sum())
+        entries = [
+            f">{name}, T={temperature}, seed={seed}, "
+            f"num_res={n_design}, batch_size={S_rep}, "
+            f"number_of_batches=1, model_path={checkpoint}\n"
+            f"{by_chains(native)}"]
+        recs, confs = [], []
+        for s in range(S_rep):
+            seq = ints_to_seq(rows["S"][s])
+            conf = float(np.exp(-rows["loss"][s]))
+            recs.append(float(rows["seq_rec"][s]))
+            confs.append(conf)
+            entries.append(
+                f">{name}, id={s + 1}, T={temperature}, seed={seed}, "
+                f"overall_confidence="
+                f"{np.format_float_positional(conf, unique=False, precision=4)} "
+                f"seq_rec="
+                f"{np.format_float_positional(rows['seq_rec'][s], unique=False, precision=4)}\n"
+                f"{by_chains(seq)}")
+        fasta_path = os.path.join(out_folder, "seqs",
+                                  name + ".fa" + file_ending)
+        with open(fasta_path, "w") as f:
+            f.write("\n".join(entries))
+        results[name] = {"seq_rec": recs, "confidence": confs,
+                         "fasta_path": fasta_path}
+
+    _run_batched(pdb_paths, checkpoint, emit,
+                 samples_per_structure=samples_per_structure,
+                 temperature=temperature, omit_AA=omit_AA,
+                 design_na_only=design_na_only, bucket=bucket,
+                 batch_structures=batch_structures, seed=seed,
+                 na_shared_tokens=na_shared_tokens)
+    return results
+
+
+def predict_specificities(pdb_paths: List[str], checkpoint: str,
+                          out_folder: str,
+                          samples_per_structure: int = 30,
+                          temperature: float = 0.6,
+                          omit_AA: str = "ARNDCQEGHILKMFPSTWYVX",
+                          design_na_only: int = 1, bucket: int = 64,
+                          batch_structures: int = 4, seed: int = 0,
+                          na_shared_tokens: int = 1) -> Dict[str, Dict]:
+    """Predict binding-specificity PPMs for every structure in packed decode
+    batches; writes the reference CLI's ``specificity/<name>.npz`` payload
+    (inference/run.py:426-443 — predicted_ppm = mean over all samples of the
+    per-position sampling distribution) and returns
+    {name: {"ppm_path": str, "predicted_ppm": [L,num_letters]}}.
+
+    Defaults mirror the specificity-mode CLI (B=30, T=0.6, protein fixed;
+    reference inference/run.py:559-583).
+    """
+    from .. import constants
+
+    os.makedirs(os.path.join(out_folder, "specificity"), exist_ok=True)
+    restype_to_int = constants.restype_to_int_table(bool(na_shared_tokens))
+    results: Dict[str, Dict] = {}
+
+    def emit(name, path, parsed, rows):
+        L = len(parsed["S"])
+        predicted_ppm = np.mean(
+            rows["sampling_probs"][:, :L].astype(np.float64), axis=0)
+        encoded_residues = [
+            f"{parsed['chain_letters'][i]}{parsed['R_idx'][i]}{parsed['icodes'][i]}"
+            for i in range(L)
+        ]
+        ppm_path = os.path.join(out_folder, "specificity", name + ".npz")
+        np.savez(
+            ppm_path,
+            predicted_ppm=predicted_ppm,
+            true_sequence=np.asarray(parsed["S"]).astype(np.int64),
+            chain_labels=np.asarray(parsed["chain_labels"])[:L],
+            mask=np.asarray(parsed["mask"])[:L],
+            protein_mask=np.asarray(parsed["protein_mask"])[:L],
+            dna_mask=np.asarray(parsed["dna_mask"])[:L],
+            rna_mask=np.asarray(parsed["rna_mask"])[:L],
+            encoded_residues=encoded_residues,
+            encoded_residues_dict={r: i for i, r in enumerate(encoded_residues)},
+            restype_to_int=restype_to_int,
+        )
+        results[name] = {"ppm_path": ppm_path, "predicted_ppm": predicted_ppm}
+
+    _run_batched(pdb_paths, checkpoint, emit,
+                 samples_per_structure=samples_per_structure,
+                 temperature=temperature, omit_AA=omit_AA,
+                 design_na_only=design_na_only, bucket=bucket,
+                 batch_structures=batch_structures, seed=seed,
+                 na_shared_tokens=na_shared_tokens)
     return results
 
 
@@ -203,26 +300,41 @@ def main(argv: Optional[List[str]] = None):
                    help="CSV with a structure_path column")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out_folder", required=True)
-    p.add_argument("--samples", type=int, default=1)
-    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--mode", default="design",
+                   choices=["design", "specificity"])
+    p.add_argument("--samples", type=int, default=None,
+                   help="per-structure samples (default: 1 design / 30 specificity)")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="default: 0.1 design / 0.6 specificity")
     p.add_argument("--omit_AA", default="ARNDCQEGHILKMFPSTWYVX")
     p.add_argument("--design_na_only", type=int, default=1)
     p.add_argument("--bucket", type=int, default=64)
-    p.add_argument("--batch_structures", type=int, default=8)
+    p.add_argument("--batch_structures", type=int, default=None,
+                   help="structures per decode batch (default: 8 design / 4 specificity)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     import pandas as pd
     paths = list(pd.read_csv(args.csv)["structure_path"])
-    res = design_structures(
-        paths, args.checkpoint, args.out_folder,
-        samples_per_structure=args.samples, temperature=args.temperature,
+    defaults = {"design": (1, 0.1, 8), "specificity": (30, 0.6, 4)}
+    n_def, t_def, bs_def = defaults[args.mode]
+    kwargs = dict(
+        samples_per_structure=args.samples if args.samples else n_def,
+        temperature=args.temperature if args.temperature else t_def,
         omit_AA=args.omit_AA, design_na_only=args.design_na_only,
-        bucket=args.bucket, batch_structures=args.batch_structures,
-        seed=args.seed)
-    for name, r in res.items():
-        print(f"{name}: seq_rec={np.mean(r['seq_rec']):.4f} "
-              f"confidence={np.mean(r['confidence']):.4f}")
+        bucket=args.bucket,
+        batch_structures=args.batch_structures or bs_def, seed=args.seed)
+    if args.mode == "design":
+        res = design_structures(paths, args.checkpoint, args.out_folder,
+                                **kwargs)
+        for name, r in res.items():
+            print(f"{name}: seq_rec={np.mean(r['seq_rec']):.4f} "
+                  f"confidence={np.mean(r['confidence']):.4f}")
+    else:
+        res = predict_specificities(paths, args.checkpoint, args.out_folder,
+                                    **kwargs)
+        for name, r in res.items():
+            print(f"{name}: ppm -> {r['ppm_path']}")
 
 
 if __name__ == "__main__":

@@ -620,7 +620,10 @@ def _sample_scan(params, cfg: ModelConfig, h_V0, h_E, E_idx, mask,
             h_V_t = h_V_stack[l][b_idx, t][:, None]      # [B,1,H]
             h_ESV_t = mask_bw_t * h_ESV_dec_t + h_EXV_t
             out = dec_layer_apply(layer_params, h_V_t, h_ESV_t, mask_V=mask_t[:, None])
-            h_V_stack = h_V_stack.at[l + 1, b_idx, t].set(out[:, 0])
+            # mask_V (f32) promotes the layer output; cast back before the
+            # scatter into the fdtype-typed stack.
+            h_V_stack = h_V_stack.at[l + 1, b_idx, t].set(
+                out[:, 0].astype(fdtype))
 
         h_V_t = h_V_stack[n_dec, b_idx, t]               # [B,H]
         logits = linear(params["W_out"], h_V_t)          # [B,nl]
@@ -780,7 +783,8 @@ def sample_tied(params, cfg: ModelConfig, batch, key, groups, group_weights,
             h_V_t = h_V_stack[l][b_idx, t_b][:, None]
             h_ESV_t = mask_bw_t * h_ESV_dec_t + h_EXV_t
             out = dec_layer_apply(layer_params, h_V_t, h_ESV_t, mask_V=mask_t[:, None])
-            new_val = jnp.where(valid, out[:, 0], h_V_stack[l + 1][b_idx, t_b])
+            new_val = jnp.where(valid, out[:, 0].astype(h_V_stack.dtype),
+                                h_V_stack[l + 1][b_idx, t_b])
             h_V_stack = h_V_stack.at[l + 1, b_idx, t_b].set(new_val)
         logits = linear(params["W_out"], h_V_stack[n_dec, b_idx, t_b])
         return {**carry, "h_V_stack": h_V_stack}, logits

@@ -67,6 +67,29 @@ def test_design_structures_batched(random_ckpt, tmp_path):
         == open(res2["4oqu"]["fasta_path"]).read()
 
 
+def test_predict_specificities_batched(random_ckpt, tmp_path):
+    from na_mpnn_tpu import constants
+    from na_mpnn_tpu.eval.batch_design import predict_specificities
+
+    out = str(tmp_path / "spec")
+    res = predict_specificities(
+        [f"{EXAMPLES}/1am9.pdb"], random_ckpt, out,
+        samples_per_structure=4, batch_structures=2, seed=5)
+    d = np.load(res["1am9"]["ppm_path"], allow_pickle=True)
+    ppm = d["predicted_ppm"]
+    assert ppm.shape == (389, constants.NUM_LETTERS)
+    # protein rows are fixed (design_na_only): no sampling mass recorded
+    protein = d["protein_mask"].astype(bool)
+    assert np.allclose(ppm[protein], 0.0)
+    # designed DNA rows: a normalized distribution with omitted letters at 0
+    dna = d["dna_mask"].astype(bool)
+    assert np.allclose(ppm[dna].sum(-1), 1.0, atol=1e-5)
+    omit_idx = [i for i, a in enumerate(constants.ALPHABET)
+                if a in "ARNDCQEGHILKMFPSTWYVX"]
+    assert np.allclose(ppm[dna][:, omit_idx], 0.0)
+    assert len(d["encoded_residues"]) == 389
+
+
 def test_batch_design_cli(random_ckpt, tmp_path):
     import pandas as pd
     from na_mpnn_tpu.eval.batch_design import main
