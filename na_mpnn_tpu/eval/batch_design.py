@@ -72,7 +72,8 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
                  per_structure: Callable,
                  samples_per_structure: int, temperature: float,
                  omit_AA: str, design_na_only: int, bucket: int,
-                 batch_structures: int, seed: int, na_shared_tokens: int):
+                 batch_structures: int, seed: int, na_shared_tokens: int,
+                 failed_dir: Optional[str] = None):
     """Shared packed-decode driver: parse -> bucket -> pack -> sample_multi,
     then call ``per_structure(name, path, parsed, rows)`` for every input,
     where ``rows`` carries that structure's slice of the decode outputs
@@ -98,13 +99,25 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
     omit = np.array([aa in omit_list for aa in constants.ALPHABET], np.float32)
     nl = constants.NUM_LETTERS
 
-    # Parse everything host-side, bucket by padded length.
+    # Parse everything host-side, bucket by padded length. A structure that
+    # fails to parse is recorded and skipped — the batch-level analog of the
+    # reference's --catch_failed_inferences files (inference/run.py:585-617).
     parsed_all = []
     for p in pdb_paths:
         name = os.path.basename(p)
         if name[-4:] in (".pdb", ".cif"):
             name = name[:-4]
-        parsed = parse_pdb(p, na_shared_tokens=bool(na_shared_tokens))
+        try:
+            parsed = parse_pdb(p, na_shared_tokens=bool(na_shared_tokens))
+            if len(parsed["S"]) == 0:
+                raise ValueError("no residues parsed")
+        except Exception as e:  # noqa: BLE001 — skip-and-continue contract
+            if failed_dir is None:
+                raise
+            os.makedirs(failed_dir, exist_ok=True)
+            with open(os.path.join(failed_dir, name + ".txt"), "w") as f:
+                f.write(f"{p}\n{type(e).__name__}: {e}\n")
+            continue
         parsed_all.append((name, p, parsed))
     buckets: Dict[int, List] = {}
     for item in parsed_all:
@@ -165,9 +178,12 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
                       design_na_only: int = 1, bucket: int = 64,
                       batch_structures: int = 8, seed: int = 0,
                       na_shared_tokens: int = 1,
-                      file_ending: str = "") -> Dict[str, Dict]:
+                      file_ending: str = "",
+                      catch_failures: bool = False) -> Dict[str, Dict]:
     """Design sequences for every structure; returns
     {name: {"seq_rec": [S], "confidence": [S], "fasta_path": str}}.
+    catch_failures records unparseable inputs under failed_inferences/
+    and continues (reference inference/run.py:585-617).
     """
     from .. import constants
 
@@ -234,7 +250,9 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
                  temperature=temperature, omit_AA=omit_AA,
                  design_na_only=design_na_only, bucket=bucket,
                  batch_structures=batch_structures, seed=seed,
-                 na_shared_tokens=na_shared_tokens)
+                 na_shared_tokens=na_shared_tokens,
+                 failed_dir=os.path.join(out_folder, "failed_inferences")
+                 if catch_failures else None)
     return results
 
 
@@ -245,7 +263,8 @@ def predict_specificities(pdb_paths: List[str], checkpoint: str,
                           omit_AA: str = "ARNDCQEGHILKMFPSTWYVX",
                           design_na_only: int = 1, bucket: int = 64,
                           batch_structures: int = 4, seed: int = 0,
-                          na_shared_tokens: int = 1) -> Dict[str, Dict]:
+                          na_shared_tokens: int = 1,
+                          catch_failures: bool = False) -> Dict[str, Dict]:
     """Predict binding-specificity PPMs for every structure in packed decode
     batches; writes the reference CLI's ``specificity/<name>.npz`` payload
     (inference/run.py:426-443 — predicted_ppm = mean over all samples of the
@@ -290,7 +309,9 @@ def predict_specificities(pdb_paths: List[str], checkpoint: str,
                  temperature=temperature, omit_AA=omit_AA,
                  design_na_only=design_na_only, bucket=bucket,
                  batch_structures=batch_structures, seed=seed,
-                 na_shared_tokens=na_shared_tokens)
+                 na_shared_tokens=na_shared_tokens,
+                 failed_dir=os.path.join(out_folder, "failed_inferences")
+                 if catch_failures else None)
     return results
 
 
@@ -312,6 +333,7 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--batch_structures", type=int, default=None,
                    help="structures per decode batch (default: 8 design / 4 specificity)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--catch_failed_inferences", type=int, default=0)
     args = p.parse_args(argv)
 
     import pandas as pd
@@ -323,7 +345,8 @@ def main(argv: Optional[List[str]] = None):
         temperature=args.temperature if args.temperature else t_def,
         omit_AA=args.omit_AA, design_na_only=args.design_na_only,
         bucket=args.bucket,
-        batch_structures=args.batch_structures or bs_def, seed=args.seed)
+        batch_structures=args.batch_structures or bs_def, seed=args.seed,
+        catch_failures=bool(args.catch_failed_inferences))
     if args.mode == "design":
         res = design_structures(paths, args.checkpoint, args.out_folder,
                                 **kwargs)

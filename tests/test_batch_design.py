@@ -90,6 +90,29 @@ def test_predict_specificities_batched(random_ckpt, tmp_path):
     assert len(d["encoded_residues"]) == 389
 
 
+def test_batch_design_failure_catcher(random_ckpt, tmp_path):
+    """Unparseable inputs are recorded under failed_inferences/ and skipped
+    (batch analog of the reference --catch_failed_inferences files)."""
+    from na_mpnn_tpu.eval.batch_design import design_structures
+
+    bad = tmp_path / "garbage.pdb"
+    bad.write_text("not a pdb\n")
+    out = str(tmp_path / "fc")
+    res = design_structures(
+        [str(bad), f"{EXAMPLES}/4oqu.pdb"], random_ckpt, out,
+        samples_per_structure=1, batch_structures=2, seed=1,
+        catch_failures=True)
+    assert "4oqu" in res and "garbage" not in res
+    failed = out + "/failed_inferences/garbage.txt"
+    assert os.path.exists(failed)
+    assert "garbage.pdb" in open(failed).read()
+
+    # without the catcher, the same input raises
+    with pytest.raises(Exception):
+        design_structures([str(bad)], random_ckpt, str(tmp_path / "fc2"),
+                          samples_per_structure=1, batch_structures=1, seed=1)
+
+
 def test_batch_design_cli(random_ckpt, tmp_path):
     import pandas as pd
     from na_mpnn_tpu.eval.batch_design import main
