@@ -35,7 +35,7 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_sampler(cfg, s_rep: int, temperature: float):
+def _jit_sampler(cfg, s_rep: int, temperature: float, with_pair_bias: bool):
     """Jitted sampler cached across calls (ModelConfig is a frozen dataclass,
     so it keys the cache); a fresh lambda per call would re-trace every
     time."""
@@ -43,6 +43,10 @@ def _jit_sampler(cfg, s_rep: int, temperature: float):
 
     from ..models.mpnn import sample_multi
 
+    if with_pair_bias:
+        return jax.jit(lambda p, b, k, bias, ctx: sample_multi(
+            p, cfg, b, k, samples_per_structure=s_rep,
+            temperature=temperature, bias=bias, pair_bias_ctx=ctx))
     return jax.jit(lambda p, b, k, bias: sample_multi(
         p, cfg, b, k, samples_per_structure=s_rep,
         temperature=temperature, bias=bias))
@@ -73,7 +77,8 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
                  samples_per_structure: int, temperature: float,
                  omit_AA: str, design_na_only: int, bucket: int,
                  batch_structures: int, seed: int, na_shared_tokens: int,
-                 failed_dir: Optional[str] = None):
+                 failed_dir: Optional[str] = None,
+                 pair_bias_AA: Optional[np.ndarray] = None):
     """Shared packed-decode driver: parse -> bucket -> pack -> sample_multi,
     then call ``per_structure(name, path, parsed, rows)`` for every input,
     where ``rows`` carries that structure's slice of the decode outputs
@@ -128,7 +133,8 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
     S_rep = samples_per_structure
     key = jax.random.PRNGKey(seed if seed else int(np.random.randint(0, 99999)))
 
-    jit_sample = _jit_sampler(cfg, S_rep, float(temperature))
+    jit_sample = _jit_sampler(cfg, S_rep, float(temperature),
+                              pair_bias_AA is not None)
 
     for Lp in sorted(buckets):
         items = buckets[Lp]
@@ -148,7 +154,18 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
                      for k in feats[0]}
 
             key, sub = jax.random.split(key)
-            out = jit_sample(params, batch, sub, bias)
+            if pair_bias_AA is not None:
+                # per-structure adjacency diagonals at the padded length
+                from ..data.featurize import make_pair_bias_ctx
+                u = np.stack([
+                    np.asarray(make_pair_bias_ctx(
+                        f["chain_labels"][0], f["R_idx"][0],
+                        pair_bias_AA)["u_diag"]) for f in feats])
+                ctx = {"pair_bias_AA": jnp.asarray(pair_bias_AA, jnp.float32),
+                       "u_diag": jnp.asarray(u)}
+                out = jit_sample(params, batch, sub, bias, ctx)
+            else:
+                out = jit_sample(params, batch, sub, bias)
 
             rec_mask = (batch["mask"] * batch["chain_mask"]).astype(jnp.float32)
             rec_mask_rep = jnp.repeat(rec_mask, S_rep, axis=0)
@@ -179,7 +196,8 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
                       batch_structures: int = 8, seed: int = 0,
                       na_shared_tokens: int = 1,
                       file_ending: str = "",
-                      catch_failures: bool = False) -> Dict[str, Dict]:
+                      catch_failures: bool = False,
+                      pair_bias_AA: Optional[np.ndarray] = None) -> Dict[str, Dict]:
     """Design sequences for every structure; returns
     {name: {"seq_rec": [S], "confidence": [S], "fasta_path": str}}.
     catch_failures records unparseable inputs under failed_inferences/
@@ -252,7 +270,8 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
                  batch_structures=batch_structures, seed=seed,
                  na_shared_tokens=na_shared_tokens,
                  failed_dir=os.path.join(out_folder, "failed_inferences")
-                 if catch_failures else None)
+                 if catch_failures else None,
+                 pair_bias_AA=pair_bias_AA)
     return results
 
 
@@ -264,7 +283,8 @@ def predict_specificities(pdb_paths: List[str], checkpoint: str,
                           design_na_only: int = 1, bucket: int = 64,
                           batch_structures: int = 4, seed: int = 0,
                           na_shared_tokens: int = 1,
-                          catch_failures: bool = False) -> Dict[str, Dict]:
+                          catch_failures: bool = False,
+                          pair_bias_AA: Optional[np.ndarray] = None) -> Dict[str, Dict]:
     """Predict binding-specificity PPMs for every structure in packed decode
     batches; writes the reference CLI's ``specificity/<name>.npz`` payload
     (inference/run.py:426-443 — predicted_ppm = mean over all samples of the
@@ -311,8 +331,24 @@ def predict_specificities(pdb_paths: List[str], checkpoint: str,
                  batch_structures=batch_structures, seed=seed,
                  na_shared_tokens=na_shared_tokens,
                  failed_dir=os.path.join(out_folder, "failed_inferences")
-                 if catch_failures else None)
+                 if catch_failures else None,
+                 pair_bias_AA=pair_bias_AA)
     return results
+
+
+def parse_pair_bias_AA(spec: str, na_shared_tokens: bool = True) -> np.ndarray:
+    """'xy:val,...' -> [num_letters,num_letters] neighbor-pair bias matrix
+    (same format as the inference CLI --pair_bias_AA)."""
+    from .. import constants
+
+    restype_to_int = constants.restype_to_int_table(na_shared_tokens)
+    str_to_int = {constants.RESTYPE_3_TO_1[k]: v
+                  for k, v in restype_to_int.items()}
+    m = np.zeros([constants.NUM_LETTERS, constants.NUM_LETTERS], np.float32)
+    for item in spec.split(","):
+        pair, val = item.split(":")
+        m[str_to_int[pair[0]], str_to_int[pair[1]]] = float(val)
+    return m
 
 
 def main(argv: Optional[List[str]] = None):
@@ -334,6 +370,8 @@ def main(argv: Optional[List[str]] = None):
                    help="structures per decode batch (default: 8 design / 4 specificity)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--catch_failed_inferences", type=int, default=0)
+    p.add_argument("--pair_bias_AA", type=str, default="",
+                   help='neighbor pair bias, e.g. "at:0.5,cg:-0.3"')
     args = p.parse_args(argv)
 
     import pandas as pd
@@ -346,7 +384,9 @@ def main(argv: Optional[List[str]] = None):
         omit_AA=args.omit_AA, design_na_only=args.design_na_only,
         bucket=args.bucket,
         batch_structures=args.batch_structures or bs_def, seed=args.seed,
-        catch_failures=bool(args.catch_failed_inferences))
+        catch_failures=bool(args.catch_failed_inferences),
+        pair_bias_AA=parse_pair_bias_AA(args.pair_bias_AA)
+        if args.pair_bias_AA else None)
     if args.mode == "design":
         res = design_structures(paths, args.checkpoint, args.out_folder,
                                 **kwargs)

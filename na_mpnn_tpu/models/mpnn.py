@@ -480,12 +480,17 @@ def _pair_bias_step(pair_bias_ctx, t, S):
     P, u_diag = pair_bias_ctx["pair_bias_AA"], pair_bias_ctx["u_diag"]
     B, L = S.shape
     nl = P.shape[0]
+    # u_diag is [L-1] (one structure shared across the decode batch) or
+    # [B,L-1] (per-row adjacency, the sample_multi case).
+    if u_diag.ndim == 1:
+        u_diag = jnp.broadcast_to(u_diag, (B,) + u_diag.shape)
+    b_idx = jnp.arange(B)
     t_next = jnp.minimum(t + 1, L - 1)
     t_prev = jnp.maximum(t - 1, 0)
     S_next = jnp.take_along_axis(S, t_next[:, None], axis=1)[:, 0]
     S_prev = jnp.take_along_axis(S, t_prev[:, None], axis=1)[:, 0]
-    u_t = u_diag[jnp.minimum(t, L - 2)] * (t < L - 1)
-    l_t = u_diag[jnp.maximum(t - 1, 0)] * (t > 0)
+    u_t = u_diag[b_idx, jnp.minimum(t, L - 2)] * (t < L - 1)
+    l_t = u_diag[b_idx, jnp.maximum(t - 1, 0)] * (t > 0)
     fwd = u_t[:, None] * P[:, S_next].T.reshape(B, nl)
     bwd = l_t[:, None] * P[S_prev, :].reshape(B, nl)
     return fwd + bwd
@@ -531,7 +536,8 @@ def sample(params, cfg: ModelConfig, batch, key, num_samples: int = 1,
 
 
 def sample_multi(params, cfg: ModelConfig, batch, key,
-                 samples_per_structure: int = 1, temperature=0.1, bias=None):
+                 samples_per_structure: int = 1, temperature=0.1, bias=None,
+                 pair_bias_ctx=None):
     """Batched multi-structure sampling: `batch` holds N different (padded)
     structures; every structure is encoded in one batched pass, each row is
     replicated `samples_per_structure` times, and all N*S designs decode in
@@ -540,9 +546,9 @@ def sample_multi(params, cfg: ModelConfig, batch, key,
     (evaluation_cmds.txt:104-108); here one chip amortizes the whole batch.
 
     `bias` is [N,L,num_letters] per structure (or [L,num_letters] shared).
-    Neighbor pair bias is not supported here (its adjacency diagonal is
-    per-structure; use `sample` for that). Returns the same dict as
-    `sample` with leading dim N*S, ordered structure-major
+    `pair_bias_ctx["u_diag"]` is the per-structure adjacency diagonal
+    [N,L-1] (or [L-1] shared); pair_bias_AA is shared. Returns the same
+    dict as `sample` with leading dim N*S, ordered structure-major
     (rows i*S..(i+1)*S-1 belong to structure i).
     """
     N, L = batch["S"].shape
@@ -562,10 +568,13 @@ def sample_multi(params, cfg: ModelConfig, batch, key,
     if bias is not None:
         bias = jnp.broadcast_to(bias, (N, L, nl))
         bias = rep(bias)
+    if pair_bias_ctx is not None:
+        u = jnp.broadcast_to(pair_bias_ctx["u_diag"], (N, L - 1))
+        pair_bias_ctx = {**pair_bias_ctx, "u_diag": rep(u)}
     decoding_order = sample_decoding_order(key_order, chain_mask)
     return _sample_scan(params, cfg, h_V0, h_E, E_idx, mask, chain_mask,
                         S_true, decoding_order, key_steps, temperature, bias,
-                        None)
+                        pair_bias_ctx)
 
 
 def _sample_scan(params, cfg: ModelConfig, h_V0, h_E, E_idx, mask,

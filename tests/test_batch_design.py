@@ -90,6 +90,52 @@ def test_predict_specificities_batched(random_ckpt, tmp_path):
     assert len(d["encoded_residues"]) == 389
 
 
+def test_sample_multi_equals_sample_single_structure():
+    """For N=1, sample_multi must reproduce sample() exactly (same key, same
+    replication semantics) — including the per-structure neighbor pair bias
+    path, whose correctness then follows from sample()'s oracle parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from na_mpnn_tpu.data.featurize import make_pair_bias_ctx
+    from na_mpnn_tpu.models import ModelConfig, init_params, sample
+    from na_mpnn_tpu.models.mpnn import sample_multi
+    from ref_oracle import make_synthetic_structure
+
+    cfg = ModelConfig(dropout=0.0)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    b = {k: jnp.asarray(v)
+         for k, v in make_synthetic_structure(L=40, seed=4, n_protein=20,
+                                              n_dna=10).items()}
+    b["chain_mask"] = b["mask"]
+
+    P = np.zeros((33, 33), np.float32)
+    P[1, 2], P[3, 3] = 1.5, -0.7
+    ctx = make_pair_bias_ctx(np.asarray(b["chain_labels"][0]),
+                             np.asarray(b["R_idx"][0]), P)
+    key = jax.random.PRNGKey(7)
+    out_a = sample(params, cfg, b, key, num_samples=3, temperature=0.3,
+                   pair_bias_ctx=ctx)
+    out_b = sample_multi(params, cfg, b, key, samples_per_structure=3,
+                         temperature=0.3,
+                         pair_bias_ctx={**ctx, "u_diag": ctx["u_diag"][None]})
+    for k in out_a:
+        np.testing.assert_array_equal(np.asarray(out_a[k]),
+                                      np.asarray(out_b[k]), err_msg=k)
+
+
+def test_parse_pair_bias_AA():
+    from na_mpnn_tpu import constants
+    from na_mpnn_tpu.eval.batch_design import parse_pair_bias_AA
+
+    m = parse_pair_bias_AA("at:0.5,cg:-0.3")
+    table = constants.restype_to_int_table(True)
+    s2i = {constants.RESTYPE_3_TO_1[k]: v for k, v in table.items()}
+    assert m[s2i["a"], s2i["t"]] == np.float32(0.5)
+    assert m[s2i["c"], s2i["g"]] == np.float32(-0.3)
+    assert np.count_nonzero(m) == 2
+
+
 def test_batch_design_failure_catcher(random_ckpt, tmp_path):
     """Unparseable inputs are recorded under failed_inferences/ and skipped
     (batch analog of the reference --catch_failed_inferences files)."""
