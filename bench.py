@@ -193,6 +193,59 @@ def bench_sampler(cfg, params):
             "sample_ms_per_residue": float(f"{dt / Ls * 1e3:.4g}")}
 
 
+def bench_batch_design(cfg, params):
+    """Packed multi-structure design throughput: 8 structures x 10 samples
+    decode in one lax.scan at the design protocol (T=0.1, L=128 bucket) —
+    the workload the reference sizes as a 200-task Slurm array x 20 min CPU
+    for 1373 structures (evaluation_cmds.txt:104-108 ~ 0.006 structures/s
+    per CPU task)."""
+    import jax
+    import jax.numpy as jnp
+    from na_mpnn_tpu.models.mpnn import sample_multi
+    from __graft_entry__ import _synthetic_batch
+
+    N, S_rep, Ls = 8, 10, 128
+    batch = {k: jnp.asarray(v) for k, v in _synthetic_batch(B=N, L=Ls).items()}
+    batch["chain_mask"] = batch["mask"]
+    key = jax.random.PRNGKey(0)
+    jit_sample = jax.jit(lambda p, b, k: sample_multi(
+        p, cfg, b, k, samples_per_structure=S_rep, temperature=0.1))
+    out = jit_sample(params, batch, key)
+    assert np.isfinite(float(jnp.sum(out["log_probs"])))  # compile + force
+    n = 3
+    best = float("inf")
+    for w in range(2):
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = jit_sample(params, batch, jax.random.fold_in(key, w * 10 + i))
+            assert int(jnp.sum(out["S"])) >= 0  # readback
+        best = min(best, (time.perf_counter() - t0) / n)
+    return {"batch_design_structures_per_s": float(f"{N / best:.4g}"),
+            "batch_design_samples_per_s": float(f"{N * S_rep / best:.4g}")}
+
+
+def bench_long_forward(cfg, params):
+    """Deterministic forward on one 6144-residue graph — the scale at which
+    the reference excludes or spatially crops structures
+    (na_data_utils.py:1037-1071,1414-1416); here it runs whole on one chip."""
+    import jax.numpy as jnp
+    from na_mpnn_tpu.models import forward
+    from __graft_entry__ import _synthetic_batch
+
+    Ls = 6144
+    batch = {k: jnp.asarray(v) for k, v in _synthetic_batch(B=1, L=Ls).items()}
+
+    def fn(carry, batch):
+        b = dict(batch)
+        b["X"] = batch["X"] + carry * 0.0
+        log_probs, _ = forward(params, cfg, b)
+        return jnp.sum(log_probs)
+
+    dt = _chain_timer(fn, (batch,), 10)
+    return {"long_graph_L6144_forward_ms": float(f"{dt * 1e3:.4g}"),
+            "long_graph_L6144_edges_per_s": float(f"{Ls * K / dt:.6g}")}
+
+
 def bench_peak_tflops():
     """Achievable bf16 matmul peak on this chip (chained 4096^2 matmuls +
     one readback). Context for the absolute numbers: the relay hardware
@@ -245,6 +298,8 @@ def main():
     extra["forward_edges_per_s"] = float(f"{edges / fwd_s:.6g}")
     extra.update(bench_stages(fwd_cfg, params, batch))
     extra.update(bench_sampler(fwd_cfg, params))
+    extra.update(bench_batch_design(fwd_cfg, params))
+    extra.update(bench_long_forward(fwd_cfg, params))
     # Hardware context: this chip's achievable bf16 peak vs the 197 TFLOP/s
     # v5e spec. The scaled estimate is what the same train step implies on a
     # full-spec chip (the model is compute-bound here: 4x batch -> 4.1x time).
