@@ -103,16 +103,11 @@ def main(args):
         print("Choose --model_type flag from currently available models")
         sys.exit(1)
 
+    from ..data import seq_format
+
     restype_to_int = constants.restype_to_int_table(bool(args.na_shared_tokens))
-    int_to_restype = constants.INT_TO_RESTYPE
-    alphabet = constants.ALPHABET
-    restype_STRtoINT = {constants.RESTYPE_3_TO_1[k]: v for k, v in restype_to_int.items()}
-    restype_INTtoSTR = {}
-    for k, v in restype_STRtoINT.items():
-        if v not in restype_INTtoSTR:
-            restype_INTtoSTR[v] = k
-    dna_char_to_rna_char = dict(constants.DNA_CHAR_TO_RNA_CHAR) \
-        if args.na_shared_tokens else {}
+    restype_STRtoINT, restype_INTtoSTR, dna_char_to_rna_char = \
+        seq_format.token_maps(bool(args.na_shared_tokens))
     num_letters = constants.NUM_LETTERS
 
     seed = args.seed if args.seed else int(np.random.randint(0, 99999))
@@ -138,22 +133,10 @@ def main(args):
     params = jax.tree.map(jnp.asarray, params)
 
     # Token-level biases (reference inference/run.py:205-234).
-    bias_AA = np.zeros([num_letters], np.float32)
-    if args.bias_AA:
-        for item in args.bias_AA.split(","):
-            aa, val = item.split(":")
-            bias_AA[restype_STRtoINT[aa]] = float(val)
-
-    pair_bias_AA = np.zeros([num_letters, num_letters], np.float32)
-    if args.pair_bias_AA:
-        for item in args.pair_bias_AA.split(","):
-            pair, val = item.split(":")
-            pair_bias_AA[restype_STRtoINT[pair[0]], restype_STRtoINT[pair[1]]] = float(val)
-
-    omit_AA_list = args.omit_AA
-    if args.na_shared_tokens:
-        omit_AA_list = omit_AA_list + "bdhuy"
-    omit_AA = np.array([aa in omit_AA_list for aa in alphabet], np.float32)
+    bias_AA = seq_format.parse_bias_spec(args.bias_AA, restype_STRtoINT)
+    pair_bias_AA = seq_format.parse_pair_bias_spec(args.pair_bias_AA,
+                                                   restype_STRtoINT)
+    omit_AA = seq_format.omit_vector(args.omit_AA, bool(args.na_shared_tokens))
 
     if args.fixed_pos_by_pdb:
         with open(args.fixed_pos_by_pdb) as fh:
@@ -291,18 +274,11 @@ def main(args):
         rna_conv = np.asarray(batch["rna_mask_for_token_conversion"][0])[:L]
 
         def ints_to_seq(S_ints):
-            out_chars = []
-            for i, aa in enumerate(S_ints):
-                ch = restype_INTtoSTR[int(aa)]
-                if rna_conv[i] == 1:
-                    ch = dna_char_to_rna_char.get(ch, ch)
-                out_chars.append(ch)
-            return "".join(out_chars)
+            return seq_format.ints_to_seq(S_ints, rna_conv, restype_INTtoSTR,
+                                          dna_char_to_rna_char)
 
         def seq_by_chains(seq):
-            seq_np = np.array(list(seq))
-            parts = ["".join(seq_np[m]) for m in parsed["mask_c"]]
-            return "/".join(parts)
+            return seq_format.seq_by_chains(seq, parsed["mask_c"])
 
         native_seq = ints_to_seq(S_native)
 
@@ -345,20 +321,13 @@ def main(args):
             np.savez(os.path.join(base_folder, "specificity", name + ".npz"),
                      **specificity_output_dict)
 
-        fasta_entries = [
-            ">{}, T={}, seed={}, num_res={}, batch_size={}, number_of_batches={}, model_path={}\n{}".format(
-                name, args.temperature, seed,
-                int(np.sum(chain_mask_np)),
-                args.batch_size, args.number_of_batches, args.checkpoint_na_mpnn,
-                seq_by_chains(native_seq))
-        ]
+        fasta_entries = [seq_format.native_fasta_entry(
+            name, args.temperature, seed, int(np.sum(chain_mask_np)),
+            args.batch_size, args.number_of_batches, args.checkpoint_na_mpnn,
+            seq_by_chains(native_seq))]
         for ix in range(S_stack.shape[0]):
             ix_suffix = ix if args.zero_indexed else ix + 1
             seq = ints_to_seq(S_stack[ix])
-            seq_rec_print = np.format_float_positional(
-                rec_stack[ix], unique=False, precision=4)
-            loss_np = np.format_float_positional(
-                np.exp(-loss_stack[ix]), unique=False, precision=4)
 
             if args.output_pdbs:
                 new_resnames = [constants.RESTYPE_1_TO_3[c] for c in seq]
@@ -368,10 +337,9 @@ def main(args):
                     base_folder + "backbones/" + name + f"_{ix_suffix}.pdb" + args.file_ending,
                     parsed, new_resnames, bfactors)
 
-            fasta_entries.append(
-                ">{}, id={}, T={}, seed={}, overall_confidence={} seq_rec={}\n{}".format(
-                    name, ix_suffix, args.temperature, seed, loss_np,
-                    seq_rec_print, seq_by_chains(seq)))
+            fasta_entries.append(seq_format.sample_fasta_entry(
+                name, ix_suffix, args.temperature, seed,
+                np.exp(-loss_stack[ix]), rec_stack[ix], seq_by_chains(seq)))
 
         if args.output_sequences:
             with open(base_folder + "seqs/" + name + ".fa" + args.file_ending, "w") as f:

@@ -91,17 +91,20 @@ def get_score(S, log_probs, mask, num_letters):
 
 
 def make_pair_bias_ctx(chain_labels: np.ndarray, R_idx: np.ndarray,
-                       pair_bias_AA: np.ndarray) -> Dict:
+                       pair_bias_AA: np.ndarray, as_numpy: bool = False) -> Dict:
     """Precompute the O(L) adjacency diagonal for neighbor pair bias.
 
     Replaces the reference's dense [1,L,33,L,33] tensor
     (inference/data_utils.py:7-16) with its diagonal structure: u_diag[i]=1
     iff residues i,i+1 are sequence-consecutive on the same chain.
+    as_numpy=True stays host-side for callers that batch many structures
+    before one upload.
     """
+    lib = np if as_numpy else jnp
     R_idx = np.asarray(R_idx)
     chain_labels = np.asarray(chain_labels)
     adj = ((R_idx[1:] - R_idx[:-1]) == 1) & (chain_labels[1:] == chain_labels[:-1])
     return {
-        "pair_bias_AA": jnp.asarray(pair_bias_AA, jnp.float32),
-        "u_diag": jnp.asarray(adj.astype(np.float32)),
+        "pair_bias_AA": lib.asarray(np.asarray(pair_bias_AA, np.float32)),
+        "u_diag": lib.asarray(adj.astype(np.float32)),
     }

@@ -75,9 +75,11 @@ def subset_evaluation_set_to_outputs(df, output_df):
 
 
 def ppm_source_from_path(ppm_path: str, dataset_name: str) -> str:
-    """PPM database attribution from the file path + dataset source."""
-    if dataset_name in ("rf2na_distillation_cis_bp",
-                        "rf2na_distillation_transfac"):
+    """PPM database attribution from the file path + dataset source.
+    TRANSFAC rows raise (like the reference) — they are licensed and must be
+    removed with subset_df_to_remove_transfac before release, never
+    re-attributed."""
+    if dataset_name == "rf2na_distillation_cis_bp":
         return "CIS-BP"
     if dataset_name == "rcsb_cif_na":
         if "jaspar" in ppm_path:

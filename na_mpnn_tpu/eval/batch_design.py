@@ -100,8 +100,8 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
     params, _ = load_params_any(checkpoint, cfg)
     params = jax.tree.map(jnp.asarray, params)
 
-    omit_list = omit_AA + ("bdhuy" if na_shared_tokens else "")
-    omit = np.array([aa in omit_list for aa in constants.ALPHABET], np.float32)
+    from ..data.seq_format import omit_vector
+    omit = omit_vector(omit_AA, bool(na_shared_tokens))
     nl = constants.NUM_LETTERS
 
     # Parse everything host-side, bucket by padded length. A structure that
@@ -131,7 +131,7 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
         buckets.setdefault(Lp, []).append(item)
 
     S_rep = samples_per_structure
-    key = jax.random.PRNGKey(seed if seed else int(np.random.randint(0, 99999)))
+    key = jax.random.PRNGKey(seed)
 
     jit_sample = _jit_sampler(cfg, S_rep, float(temperature),
                               pair_bias_AA is not None)
@@ -155,12 +155,12 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
 
             key, sub = jax.random.split(key)
             if pair_bias_AA is not None:
-                # per-structure adjacency diagonals at the padded length
+                # per-structure adjacency diagonals at the padded length,
+                # built host-side and uploaded once per group
                 from ..data.featurize import make_pair_bias_ctx
-                u = np.stack([
-                    np.asarray(make_pair_bias_ctx(
-                        f["chain_labels"][0], f["R_idx"][0],
-                        pair_bias_AA)["u_diag"]) for f in feats])
+                u = np.stack([make_pair_bias_ctx(
+                    f["chain_labels"][0], f["R_idx"][0], pair_bias_AA,
+                    as_numpy=True)["u_diag"] for f in feats])
                 ctx = {"pair_bias_AA": jnp.asarray(pair_bias_AA, jnp.float32),
                        "u_diag": jnp.asarray(u)}
                 out = jit_sample(params, batch, sub, bias, ctx)
@@ -197,24 +197,29 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
                       na_shared_tokens: int = 1,
                       file_ending: str = "",
                       catch_failures: bool = False,
-                      pair_bias_AA: Optional[np.ndarray] = None) -> Dict[str, Dict]:
+                      pair_bias_AA: Optional[np.ndarray] = None,
+                      write_design_json: bool = False) -> Dict[str, Dict]:
     """Design sequences for every structure; returns
     {name: {"seq_rec": [S], "confidence": [S], "fasta_path": str}}.
     catch_failures records unparseable inputs under failed_inferences/
     and continues (reference inference/run.py:585-617).
+    write_design_json additionally emits the per-structure
+    <out>/<name>/design_json/<name>_<i>.json dicts the monomer-RNA eval
+    pipeline consumes (harness.design_nucleic_acid_sequence contract) —
+    batch mode then drop-in replaces the per-structure design stage.
     """
-    from .. import constants
+    import json
+
+    from ..data.seq_format import (ints_to_seq, native_fasta_entry,
+                                   sample_fasta_entry, seq_by_chains,
+                                   token_maps)
+
+    # Resolve seed=0 -> random ONCE so the FASTA headers record the seed
+    # that actually drove sampling (cli/run.py does the same).
+    seed = int(seed) if seed else int(np.random.randint(1, 99999))
 
     os.makedirs(os.path.join(out_folder, "seqs"), exist_ok=True)
-
-    restype_to_int = constants.restype_to_int_table(bool(na_shared_tokens))
-    restype_STRtoINT = {constants.RESTYPE_3_TO_1[k]: v
-                        for k, v in restype_to_int.items()}
-    restype_INTtoSTR = {}
-    for k, v in restype_STRtoINT.items():
-        restype_INTtoSTR.setdefault(v, k)
-    dna_char_to_rna_char = dict(constants.DNA_CHAR_TO_RNA_CHAR) \
-        if na_shared_tokens else {}
+    _, int_to_str, dna_to_rna = token_maps(bool(na_shared_tokens))
 
     results: Dict[str, Dict] = {}
 
@@ -223,43 +228,44 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
         rna_conv = np.asarray(parsed["rna_mask_for_token_conversion"])
         S_rep = rows["S"].shape[0]
 
-        def ints_to_seq(S_ints):
-            chars = []
-            for t, aa in enumerate(S_ints[:L]):
-                ch = restype_INTtoSTR[int(aa)]
-                if rna_conv[t] == 1:
-                    ch = dna_char_to_rna_char.get(ch, ch)
-                chars.append(ch)
-            return "".join(chars)
+        def to_seq(S_ints):
+            return ints_to_seq(S_ints[:L], rna_conv, int_to_str, dna_to_rna)
 
-        def by_chains(seq):
-            arr = np.array(list(seq))
-            return "/".join("".join(arr[m]) for m in parsed["mask_c"])
-
-        native = ints_to_seq(np.asarray(parsed["S"]))
+        native = to_seq(np.asarray(parsed["S"]))
         n_design = int(rows["rec_mask"][:L].sum())
-        entries = [
-            f">{name}, T={temperature}, seed={seed}, "
-            f"num_res={n_design}, batch_size={S_rep}, "
-            f"number_of_batches=1, model_path={checkpoint}\n"
-            f"{by_chains(native)}"]
-        recs, confs = [], []
+        entries = [native_fasta_entry(
+            name, temperature, seed, n_design, S_rep, 1, checkpoint,
+            seq_by_chains(native, parsed["mask_c"]))]
+        recs, confs, design_data = [], [], []
         for s in range(S_rep):
-            seq = ints_to_seq(rows["S"][s])
+            seq_text = seq_by_chains(to_seq(rows["S"][s]), parsed["mask_c"])
             conf = float(np.exp(-rows["loss"][s]))
-            recs.append(float(rows["seq_rec"][s]))
+            rec = float(rows["seq_rec"][s])
+            recs.append(rec)
             confs.append(conf)
-            entries.append(
-                f">{name}, id={s + 1}, T={temperature}, seed={seed}, "
-                f"overall_confidence="
-                f"{np.format_float_positional(conf, unique=False, precision=4)} "
-                f"seq_rec="
-                f"{np.format_float_positional(rows['seq_rec'][s], unique=False, precision=4)}\n"
-                f"{by_chains(seq)}")
+            entries.append(sample_fasta_entry(
+                name, s + 1, temperature, seed, conf, rec, seq_text))
+            design_data.append({
+                "input_structure_name": name,
+                "input_structure_path": path,
+                "original_input_structure_path": path,
+                "design_id": str(s + 1),
+                "name": f"{name}_{s + 1}",
+                "design_sequence": seq_text,
+                "tool_reported_sequence_recovery": rec,
+                "design_method": "na_mpnn",
+                "model_weights_path": checkpoint,
+            })
         fasta_path = os.path.join(out_folder, "seqs",
                                   name + ".fa" + file_ending)
         with open(fasta_path, "w") as f:
             f.write("\n".join(entries))
+        if write_design_json:
+            dj = os.path.join(out_folder, name, "design_json")
+            os.makedirs(dj, exist_ok=True)
+            for d in design_data:
+                with open(os.path.join(dj, d["name"] + ".json"), "w") as f:
+                    json.dump(d, f, indent=4)
         results[name] = {"seq_rec": recs, "confidence": confs,
                          "fasta_path": fasta_path}
 
@@ -295,6 +301,8 @@ def predict_specificities(pdb_paths: List[str], checkpoint: str,
     reference inference/run.py:559-583).
     """
     from .. import constants
+
+    seed = int(seed) if seed else int(np.random.randint(1, 99999))
 
     os.makedirs(os.path.join(out_folder, "specificity"), exist_ok=True)
     restype_to_int = constants.restype_to_int_table(bool(na_shared_tokens))
@@ -339,16 +347,10 @@ def predict_specificities(pdb_paths: List[str], checkpoint: str,
 def parse_pair_bias_AA(spec: str, na_shared_tokens: bool = True) -> np.ndarray:
     """'xy:val,...' -> [num_letters,num_letters] neighbor-pair bias matrix
     (same format as the inference CLI --pair_bias_AA)."""
-    from .. import constants
+    from ..data.seq_format import parse_pair_bias_spec, token_maps
 
-    restype_to_int = constants.restype_to_int_table(na_shared_tokens)
-    str_to_int = {constants.RESTYPE_3_TO_1[k]: v
-                  for k, v in restype_to_int.items()}
-    m = np.zeros([constants.NUM_LETTERS, constants.NUM_LETTERS], np.float32)
-    for item in spec.split(","):
-        pair, val = item.split(":")
-        m[str_to_int[pair[0]], str_to_int[pair[1]]] = float(val)
-    return m
+    str_to_int, _, _ = token_maps(na_shared_tokens)
+    return parse_pair_bias_spec(spec, str_to_int)
 
 
 def main(argv: Optional[List[str]] = None):
@@ -372,23 +374,32 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--catch_failed_inferences", type=int, default=0)
     p.add_argument("--pair_bias_AA", type=str, default="",
                    help='neighbor pair bias, e.g. "at:0.5,cg:-0.3"')
+    p.add_argument("--write_design_json", type=int, default=0,
+                   help="also emit <out>/<id>/design_json/*.json (the "
+                        "monomer-RNA pipeline's per-design input format)")
     args = p.parse_args(argv)
 
     import pandas as pd
     paths = list(pd.read_csv(args.csv)["structure_path"])
+    if args.temperature is not None and args.temperature <= 0:
+        p.error("--temperature must be > 0 (sampling divides logits by T)")
     defaults = {"design": (1, 0.1, 8), "specificity": (30, 0.6, 4)}
     n_def, t_def, bs_def = defaults[args.mode]
     kwargs = dict(
-        samples_per_structure=args.samples if args.samples else n_def,
-        temperature=args.temperature if args.temperature else t_def,
+        samples_per_structure=args.samples if args.samples is not None
+        else n_def,
+        temperature=args.temperature if args.temperature is not None
+        else t_def,
         omit_AA=args.omit_AA, design_na_only=args.design_na_only,
         bucket=args.bucket,
-        batch_structures=args.batch_structures or bs_def, seed=args.seed,
+        batch_structures=args.batch_structures if args.batch_structures
+        is not None else bs_def, seed=args.seed,
         catch_failures=bool(args.catch_failed_inferences),
         pair_bias_AA=parse_pair_bias_AA(args.pair_bias_AA)
         if args.pair_bias_AA else None)
     if args.mode == "design":
         res = design_structures(paths, args.checkpoint, args.out_folder,
+                                write_design_json=bool(args.write_design_json),
                                 **kwargs)
         for name, r in res.items():
             print(f"{name}: seq_rec={np.mean(r['seq_rec']):.4f} "

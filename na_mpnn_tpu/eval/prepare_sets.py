@@ -95,7 +95,9 @@ def get_entries_in_same_clusters_as_specified_entries(
     for entry_id in entry_ids:
         rows = dataset_df[dataset_df["id"] == entry_id]
         if len(rows) == 0:
-            continue
+            # Fail loudly like the reference notebook (iloc[0] on an empty
+            # frame): a missing anchor must not silently shrink the set.
+            raise KeyError(f"seed entry {entry_id!r} not in the dataset")
         seed_clusters.update(
             ast.literal_eval(rows.iloc[0][cluster_ids_column_name]))
     keep = dataset_df[cluster_ids_column_name].apply(

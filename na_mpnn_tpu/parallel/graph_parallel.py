@@ -441,7 +441,10 @@ def _sample_local(params, cfg, B, temperature, has_pair, lb, S_true,
             h_V_t = h_V_stack[l][b_idx, t][:, None]
             out = dec_layer_apply(layer_params, h_V_t, h_ESV_t,
                                   mask_V=mask_t[:, None])
-            h_V_stack = h_V_stack.at[l + 1, b_idx, t].set(out[:, 0])
+            # mask_V (f32) promotes the layer output; cast back before the
+            # scatter into the stack (same fix as models/mpnn._sample_scan).
+            h_V_stack = h_V_stack.at[l + 1, b_idx, t].set(
+                out[:, 0].astype(h_V_stack.dtype))
 
         h_V_t = h_V_stack[n_dec, b_idx, t]
         logits = linear(params["W_out"], h_V_t)

@@ -46,7 +46,9 @@ def collate_batch(structures: List[Dict], pad_to: Optional[int] = None,
         bucket_length(L_max) if use_buckets else L_max)
     B_pad = pad_batch_to if pad_batch_to is not None else B
 
-    nA = constants.NUM_BACKBONE_ATOMS
+    # Atom-table width follows the dataset (16-atom backbone or 65-atom
+    # "all" table, reference na_run.py:34-41 via ATOMS_TO_LOAD).
+    nA = int(structures[0]["X"].shape[1])
     nl = constants.NUM_LETTERS
     pt_pad = constants.POLYTYPE_TO_INT["PAD"]
     rt_pad = constants.RESTYPE_TO_INT["PAD"]

@@ -67,6 +67,44 @@ def test_design_structures_batched(random_ckpt, tmp_path):
         == open(res2["4oqu"]["fasta_path"]).read()
 
 
+def test_seed_zero_records_drawn_seed(random_ckpt, tmp_path):
+    """seed=0 draws a random seed; the FASTA headers must record the DRAWN
+    value (cli/run contract), not the literal 0."""
+    from na_mpnn_tpu.eval.batch_design import design_structures
+    from na_mpnn_tpu.eval.harness import (parse_design_fasta_header,
+                                          read_fasta_file)
+
+    res = design_structures([f"{EXAMPLES}/4oqu.pdb"], random_ckpt,
+                            str(tmp_path / "s0"), samples_per_structure=1,
+                            batch_structures=1, seed=0)
+    header = read_fasta_file(res["4oqu"]["fasta_path"])[1][0]
+    assert int(parse_design_fasta_header(header)["seed"]) != 0
+
+
+def test_write_design_json(random_ckpt, tmp_path):
+    """--write_design_json emits the per-design dicts the monomer-RNA
+    pipeline consumes (harness.design_nucleic_acid_sequence contract)."""
+    import json
+
+    from na_mpnn_tpu.eval.batch_design import design_structures
+
+    out = str(tmp_path / "dj")
+    design_structures([f"{EXAMPLES}/4oqu.pdb"], random_ckpt, out,
+                      samples_per_structure=2, batch_structures=1, seed=3,
+                      write_design_json=True)
+    p1 = os.path.join(out, "4oqu", "design_json", "4oqu_1.json")
+    p2 = os.path.join(out, "4oqu", "design_json", "4oqu_2.json")
+    assert os.path.exists(p1) and os.path.exists(p2)
+    d = json.load(open(p1))
+    for k in ["input_structure_name", "input_structure_path", "design_id",
+              "name", "design_sequence", "tool_reported_sequence_recovery",
+              "design_method", "model_weights_path",
+              "original_input_structure_path"]:
+        assert k in d, k
+    assert d["design_method"] == "na_mpnn" and d["name"] == "4oqu_1"
+    assert len(d["design_sequence"]) == 97  # single chain, no separators
+
+
 def test_predict_specificities_batched(random_ckpt, tmp_path):
     from na_mpnn_tpu import constants
     from na_mpnn_tpu.eval.batch_design import predict_specificities

@@ -97,6 +97,9 @@ def test_subset_helpers(mini_df):
     sub = get_entries_in_same_clusters_as_specified_entries(
         mini_df, ["4oqu"], "nucleic_acid_chain_cluster_ids")
     assert set(sub["id"]) == {"4oqu"}  # 'leak' also needs OTHER
+    with pytest.raises(KeyError):  # missing anchor fails loudly
+        get_entries_in_same_clusters_as_specified_entries(
+            mini_df, ["absent"], "nucleic_acid_chain_cluster_ids")
 
     stats = get_polymer_type_statistics(mini_df)
     assert stats["rna"] == 2 and stats["protein_dna"] == 2
@@ -172,6 +175,8 @@ def test_split_release_writers(mini_df, tmp_path):
     assert ppm_source_from_path("/a/jaspar/x.txt", "rcsb_cif_na") == "JASPAR"
     with pytest.raises(ValueError):
         ppm_source_from_path("/a/unknown/x.txt", "rcsb_cif_na")
+    with pytest.raises(ValueError):  # TRANSFAC must be removed, not relabeled
+        ppm_source_from_path("/a/x.txt", "rf2na_distillation_transfac")
 
     transfac = mini_df.copy()
     transfac.loc[transfac["id"] == "long", "dataset_name"] = \

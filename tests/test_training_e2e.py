@@ -106,10 +106,7 @@ def test_preprocessing_outputs(mini_dataset):
     assert "polypeptide(L)" in seq_csv and "polydeoxyribonucleotide" in seq_csv
 
 
-def test_training_loop_end_to_end(mini_dataset, tmp_path):
-    from na_mpnn_tpu.train.trainer import run_training
-
-    base = str(tmp_path / "run")
+def _train_cfg(mini_dataset, base, **overrides):
     cfg = {
         "VOCAB_SIZE": 33, "NUM_LETTERS": 33,
         "PARSE_PROTEIN": 1, "PARSE_DNA": 1, "PARSE_RNA": 1,
@@ -139,6 +136,15 @@ def test_training_loop_end_to_end(mini_dataset, tmp_path):
         "MIXED_PRECISION": 0, "SAVE_EVERY_N_STEPS": 2,
         "ATOMS_TO_LOAD": "backbone", "METRICS_TO_COMPUTE": "basic",
     }
+    cfg.update(overrides)
+    return cfg
+
+
+def test_training_loop_end_to_end(mini_dataset, tmp_path):
+    from na_mpnn_tpu.train.trainer import run_training
+
+    base = str(tmp_path / "run")
+    cfg = _train_cfg(mini_dataset, base)
     trainer = run_training(cfg, max_epochs=2)
     assert trainer.step >= 2
     assert os.path.exists(base + "/last.npz")
@@ -152,6 +158,23 @@ def test_training_loop_end_to_end(mini_dataset, tmp_path):
     cfg2["PREV_CHECKPOINT"] = base + "/last.npz"
     trainer2 = run_training(cfg2, max_epochs=1)
     assert trainer2.step > trainer.step - 1
+
+
+def test_training_loop_all_atom_table(mini_dataset, tmp_path):
+    """ATOMS_TO_LOAD="all" trains end-to-end: the 65-atom table flows
+    dataset -> collate -> model (reference na_run.py:34-41)."""
+    import json as _json
+
+    from na_mpnn_tpu.train.trainer import run_training
+
+    base = str(tmp_path / "run_all")
+    cfg = _train_cfg(mini_dataset, base, ATOMS_TO_LOAD="all", TOTAL_STEPS=1,
+                     MAX_NUMBER_OF_PDBS_TRAIN=2, MAX_NUMBER_OF_PDBS_VALID=1)
+    trainer = run_training(cfg, max_epochs=1)
+    assert trainer.cfg.atom_table == "all"
+    assert trainer.cfg.total_atoms == 67
+    jsonl = [_json.loads(l) for l in open(base + "/log.jsonl")]
+    assert np.isfinite(jsonl[-1]["train_loss"])
 
 
 def test_prefetch_loader_workers(mini_dataset):
