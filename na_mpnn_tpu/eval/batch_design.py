@@ -38,18 +38,31 @@ import numpy as np
 def _jit_sampler(cfg, s_rep: int, temperature: float, with_pair_bias: bool):
     """Jitted sampler cached across calls (ModelConfig is a frozen dataclass,
     so it keys the cache); a fresh lambda per call would re-trace every
-    time."""
+    time. The seq-recovery / CCE-score epilogue is fused into the same
+    executable so each decode group costs ONE dispatch (every separate op
+    pays the relay's ~3 ms floor)."""
     import jax
+    import jax.numpy as jnp
 
+    from .. import constants
+    from ..data.featurize import get_score, get_seq_rec
     from ..models.mpnn import sample_multi
 
+    def run(p, b, k, bias, ctx=None):
+        out = sample_multi(p, cfg, b, k, samples_per_structure=s_rep,
+                           temperature=temperature, bias=bias,
+                           pair_bias_ctx=ctx)
+        rec_mask = (b["mask"] * b["chain_mask"]).astype(jnp.float32)
+        rec_mask_rep = jnp.repeat(rec_mask, s_rep, axis=0)
+        S_true_rep = jnp.repeat(b["S"], s_rep, axis=0)
+        rec = get_seq_rec(S_true_rep, out["S"], rec_mask_rep)
+        loss, _ = get_score(out["S"], out["log_probs"], rec_mask_rep,
+                            constants.NUM_LETTERS)
+        return out, rec, loss, rec_mask
+
     if with_pair_bias:
-        return jax.jit(lambda p, b, k, bias, ctx: sample_multi(
-            p, cfg, b, k, samples_per_structure=s_rep,
-            temperature=temperature, bias=bias, pair_bias_ctx=ctx))
-    return jax.jit(lambda p, b, k, bias: sample_multi(
-        p, cfg, b, k, samples_per_structure=s_rep,
-        temperature=temperature, bias=bias))
+        return jax.jit(run)
+    return jax.jit(lambda p, b, k, bias: run(p, b, k, bias))
 
 
 def _chain_mask_for(parsed: Dict, design_na_only: bool) -> np.ndarray:
@@ -86,12 +99,22 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
 
       S [S,Lp] int, log_probs [S,Lp,nl], sampling_probs [S,Lp,nl],
       seq_rec [S], loss [S], rec_mask [Lp] (mask * chain_mask).
+
+    The host work is pipelined with the device decode: a parse-ahead thread
+    feeds structures (in input order) into greedy per-bucket groups, a full
+    group is featurized and dispatched immediately, and the previous group's
+    outputs are read back and emitted only after the next one is queued —
+    so parsing/featurizing group g overlaps the device decode of group g-1.
+    Grouping and RNG-key order depend only on the input order, keeping a
+    fixed seed reproducible.
     """
+    import queue
+    import threading
+
     import jax
     import jax.numpy as jnp
 
-    from .. import constants
-    from ..data.featurize import featurize_inference, get_score, get_seq_rec
+    from ..data.featurize import featurize_inference
     from ..data.pdb import parse_pdb
     from ..models import ModelConfig
     from ..train.checkpoint import load_params_any
@@ -102,91 +125,122 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
 
     from ..data.seq_format import omit_vector
     omit = omit_vector(omit_AA, bool(na_shared_tokens))
-    nl = constants.NUM_LETTERS
 
-    # Parse everything host-side, bucket by padded length. A structure that
-    # fails to parse is recorded and skipped — the batch-level analog of the
-    # reference's --catch_failed_inferences files (inference/run.py:585-617).
-    parsed_all = []
-    for p in pdb_paths:
-        name = os.path.basename(p)
-        if name[-4:] in (".pdb", ".cif"):
-            name = name[:-4]
-        try:
-            parsed = parse_pdb(p, na_shared_tokens=bool(na_shared_tokens))
-            if len(parsed["S"]) == 0:
-                raise ValueError("no residues parsed")
-        except Exception as e:  # noqa: BLE001 — skip-and-continue contract
-            if failed_dir is None:
-                raise
-            os.makedirs(failed_dir, exist_ok=True)
-            with open(os.path.join(failed_dir, name + ".txt"), "w") as f:
-                f.write(f"{p}\n{type(e).__name__}: {e}\n")
-            continue
-        parsed_all.append((name, p, parsed))
-    buckets: Dict[int, List] = {}
-    for item in parsed_all:
-        L = len(item[2]["S"])
-        Lp = -(-max(L, 1) // bucket) * bucket
-        buckets.setdefault(Lp, []).append(item)
+    # Parse-ahead thread: host-side parsing in input order into a bounded
+    # queue. A structure that fails to parse is recorded and skipped — the
+    # batch-level analog of the reference's --catch_failed_inferences files
+    # (inference/run.py:585-617); without failed_dir the error is re-raised
+    # on the main thread.
+    parse_q: "queue.Queue" = queue.Queue(maxsize=max(2 * batch_structures, 8))
+
+    def _parse_worker():
+        for p in pdb_paths:
+            name = os.path.basename(p)
+            if name[-4:] in (".pdb", ".cif"):
+                name = name[:-4]
+            try:
+                parsed = parse_pdb(p, na_shared_tokens=bool(na_shared_tokens))
+                if len(parsed["S"]) == 0:
+                    raise ValueError("no residues parsed")
+            except Exception as e:  # noqa: BLE001 — skip-and-continue contract
+                parse_q.put(("err", name, p, e))
+                continue
+            parse_q.put(("ok", name, p, parsed))
+        parse_q.put(None)
+
+    threading.Thread(target=_parse_worker, daemon=True).start()
 
     S_rep = samples_per_structure
     key = jax.random.PRNGKey(seed)
 
     jit_sample = _jit_sampler(cfg, S_rep, float(temperature),
                               pair_bias_AA is not None)
+    bias_for: Dict[int, "jnp.ndarray"] = {}  # [Lp,nl] omit bias per bucket
 
-    for Lp in sorted(buckets):
-        items = buckets[Lp]
-        bias = jnp.asarray(np.tile(-1e8 * omit, (Lp, 1)))  # [Lp,nl]
-        for g0 in range(0, len(items), batch_structures):
-            group = items[g0:g0 + batch_structures]
-            feats = []
-            for name, path, parsed in group:
-                cm = _chain_mask_for(parsed, bool(design_na_only))
-                # host-side featurization: one device upload per GROUP
-                # (per-structure round-trips dominated the wall-clock)
-                feats.append(featurize_inference(parsed, cm, pad_to=Lp,
-                                                 as_numpy=True))
-            while len(feats) < batch_structures:  # fixed-shape executable
-                feats.append(_dummy_like(feats[0]))
-            batch = {k: jnp.asarray(np.concatenate([f[k] for f in feats]))
-                     for k in feats[0]}
+    def _dispatch(group, Lp, sub):
+        """Featurize + upload + queue the decode for one group; returns the
+        state the emit stage needs (device handles stay in flight)."""
+        feats = []
+        for name, path, parsed in group:
+            cm = _chain_mask_for(parsed, bool(design_na_only))
+            # host-side featurization: one device upload per GROUP
+            # (per-structure round-trips dominated the wall-clock)
+            feats.append(featurize_inference(parsed, cm, pad_to=Lp,
+                                             as_numpy=True))
+        while len(feats) < batch_structures:  # fixed-shape executable
+            feats.append(_dummy_like(feats[0]))
+        batch = {k: jnp.asarray(np.concatenate([f[k] for f in feats]))
+                 for k in feats[0]}
+        if Lp not in bias_for:
+            bias_for[Lp] = jnp.asarray(np.tile(-1e8 * omit, (Lp, 1)))
+        if pair_bias_AA is not None:
+            # per-structure adjacency diagonals at the padded length,
+            # built host-side and uploaded once per group
+            from ..data.featurize import make_pair_bias_ctx
+            u = np.stack([make_pair_bias_ctx(
+                f["chain_labels"][0], f["R_idx"][0], pair_bias_AA,
+                as_numpy=True)["u_diag"] for f in feats])
+            ctx = {"pair_bias_AA": jnp.asarray(pair_bias_AA, jnp.float32),
+                   "u_diag": jnp.asarray(u)}
+            out, rec, loss, rec_mask = jit_sample(params, batch, sub,
+                                                  bias_for[Lp], ctx)
+        else:
+            out, rec, loss, rec_mask = jit_sample(params, batch, sub,
+                                                  bias_for[Lp])
+        return (group, out, rec, loss, rec_mask)
 
+    def _emit(state):
+        """Read back one in-flight group and hand each structure its rows."""
+        group, out, rec, loss, rec_mask = state
+        rec = np.asarray(rec)
+        loss = np.asarray(loss)
+        S_all = np.asarray(out["S"])
+        log_probs = np.asarray(out["log_probs"])
+        sampling_probs = np.asarray(out["sampling_probs"])
+        rec_mask_np = np.asarray(rec_mask)
+        for i, (name, path, parsed) in enumerate(group):
+            sl = slice(i * S_rep, (i + 1) * S_rep)
+            rows = {
+                "S": S_all[sl], "log_probs": log_probs[sl],
+                "sampling_probs": sampling_probs[sl],
+                "seq_rec": rec[sl], "loss": loss[sl],
+                "rec_mask": rec_mask_np[i],
+            }
+            per_structure(name, path, parsed, rows)
+
+    pending: Dict[int, List] = {}  # Lp -> partially-filled group (insertion order)
+    inflight = None
+    ready: List = []  # full groups as (group, Lp)
+    done = False
+    while not done:
+        item = parse_q.get()
+        if item is None:
+            done = True
+            # flush partial groups in first-seen bucket order
+            ready.extend((grp, Lp) for Lp, grp in pending.items() if grp)
+        elif item[0] == "err":
+            _, name, p, e = item
+            if failed_dir is None:
+                raise e
+            os.makedirs(failed_dir, exist_ok=True)
+            with open(os.path.join(failed_dir, name + ".txt"), "w") as f:
+                f.write(f"{p}\n{type(e).__name__}: {e}\n")
+        else:
+            _, name, p, parsed = item
+            L = len(parsed["S"])
+            Lp = -(-max(L, 1) // bucket) * bucket
+            pending.setdefault(Lp, []).append((name, p, parsed))
+            if len(pending[Lp]) == batch_structures:
+                ready.append((pending.pop(Lp), Lp))
+        for group, Lp in ready:
             key, sub = jax.random.split(key)
-            if pair_bias_AA is not None:
-                # per-structure adjacency diagonals at the padded length,
-                # built host-side and uploaded once per group
-                from ..data.featurize import make_pair_bias_ctx
-                u = np.stack([make_pair_bias_ctx(
-                    f["chain_labels"][0], f["R_idx"][0], pair_bias_AA,
-                    as_numpy=True)["u_diag"] for f in feats])
-                ctx = {"pair_bias_AA": jnp.asarray(pair_bias_AA, jnp.float32),
-                       "u_diag": jnp.asarray(u)}
-                out = jit_sample(params, batch, sub, bias, ctx)
-            else:
-                out = jit_sample(params, batch, sub, bias)
-
-            rec_mask = (batch["mask"] * batch["chain_mask"]).astype(jnp.float32)
-            rec_mask_rep = jnp.repeat(rec_mask, S_rep, axis=0)
-            S_true_rep = jnp.repeat(batch["S"], S_rep, axis=0)
-            rec = np.asarray(get_seq_rec(S_true_rep, out["S"], rec_mask_rep))
-            loss, _ = get_score(out["S"], out["log_probs"], rec_mask_rep, nl)
-            loss = np.asarray(loss)
-            S_all = np.asarray(out["S"])
-            log_probs = np.asarray(out["log_probs"])
-            sampling_probs = np.asarray(out["sampling_probs"])
-            rec_mask_np = np.asarray(rec_mask)
-
-            for i, (name, path, parsed) in enumerate(group):
-                sl = slice(i * S_rep, (i + 1) * S_rep)
-                rows = {
-                    "S": S_all[sl], "log_probs": log_probs[sl],
-                    "sampling_probs": sampling_probs[sl],
-                    "seq_rec": rec[sl], "loss": loss[sl],
-                    "rec_mask": rec_mask_np[i],
-                }
-                per_structure(name, path, parsed, rows)
+            state = _dispatch(group, Lp, sub)
+            if inflight is not None:
+                _emit(inflight)
+            inflight = state
+        ready.clear()
+    if inflight is not None:
+        _emit(inflight)
 
 
 def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
