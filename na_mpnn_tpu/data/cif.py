@@ -32,6 +32,13 @@ Chain = collections.namedtuple("Chain", ["id", "type", "atoms", "sequence"])
 # mmCIF tokenizer / table reader
 # ---------------------------------------------------------------------------
 
+def _float_or(token: Optional[str], default: float) -> float:
+    try:
+        return float(token)
+    except (TypeError, ValueError):
+        return default
+
+
 def _tokenize_line(line: str) -> List[str]:
     tokens = []
     i, n = 0, len(line)
@@ -396,8 +403,11 @@ class CIFParser:
             alt = row[cols["alt"]] if cols["alt"] is not None else "."
             if alt not in (".", "?", "A", ""):
                 continue
-            occ = float(row[cols["occ"]]) if cols["occ"] is not None else 1.0
-            bfac = float(row[cols["bfac"]]) if cols["bfac"] is not None else 0.0
+            # occupancy / B-factor may be '?' or '.' in real entries
+            occ = _float_or(row[cols["occ"]], 1.0) \
+                if cols["occ"] is not None else 1.0
+            bfac = _float_or(row[cols["bfac"]], 0.0) \
+                if cols["bfac"] is not None else 0.0
             atom_name = row[cols["atm"]].strip('"')
             key = (chid, num, res_name, atom_name)
             atoms = chain_atoms.setdefault(chid, {})
