@@ -97,6 +97,9 @@ def main(argv=None):
     from ..data.parsers import make_parsers
 
     argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        sys.exit(0 if argv else 1)
     input_csv, outdir, modulo, remainder = argv[0], argv[1], int(argv[2]), int(argv[3])
     params = dict(DEFAULT_PARAMS)
     if len(argv) > 4:

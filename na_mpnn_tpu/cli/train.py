@@ -15,9 +15,9 @@ import sys
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if not argv:
-        print("usage: python -m na_mpnn_tpu.cli.train config.json")
-        sys.exit(1)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: na-mpnn-train config.json\n\n" + (__doc__ or ""))
+        sys.exit(0 if argv else 1)
     from ..train.trainer import run_training
     run_training(argv[0])
 
