@@ -1,8 +1,10 @@
-"""ctypes bindings for the native C++ structure parser (native/na_parse.cc).
+"""ctypes bindings for the native C++ structure parser
+(na_mpnn_tpu/native/na_parse.cc, shipped inside the package).
 
 The library self-builds with g++ on first use and caches the .so next to the
-source; every caller falls back to the pure-Python parsers when the toolchain
-or build is unavailable (`native_available()`).
+source (or under ~/.cache/na-mpnn-tpu when the package directory is
+read-only); every caller falls back to the pure-Python parsers when the
+toolchain or build is unavailable (`native_available()`).
 """
 from __future__ import annotations
 
@@ -14,9 +16,20 @@ from typing import List, Optional
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "na_parse.cc")
-_LIB = os.path.join(_REPO_ROOT, "native", "libna_parse.so")
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "na_parse.cc")
+
+
+def _lib_path() -> str:
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return os.path.join(_NATIVE_DIR, "libna_parse.so")
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "na-mpnn-tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libna_parse.so")
+
+
+_LIB = _lib_path()
 
 _lock = threading.Lock()
 _lib = None

@@ -85,7 +85,7 @@ def read_pdb_atoms(path: str, first_model_only: bool = True,
                    use_native: bool = True) -> List[PDBAtom]:
     """Read ATOM/HETATM records (altloc ' ' or 'A', occupancy > 0).
 
-    Uses the C++ tokenizer (native/na_parse.cc) when available; the pure-
+    Uses the C++ tokenizer (na_mpnn_tpu/native/na_parse.cc) when available; the pure-
     Python path below is the fallback and the semantic reference."""
     if use_native:
         try:

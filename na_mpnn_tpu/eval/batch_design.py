@@ -132,21 +132,39 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
     # (inference/run.py:585-617); without failed_dir the error is re-raised
     # on the main thread.
     parse_q: "queue.Queue" = queue.Queue(maxsize=max(2 * batch_structures, 8))
+    stop = threading.Event()  # set when the consumer aborts
+
+    def _offer(item) -> bool:
+        """put() that gives up when the consumer has stopped reading."""
+        while not stop.is_set():
+            try:
+                parse_q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _parse_worker():
-        for p in pdb_paths:
-            name = os.path.basename(p)
-            if name[-4:] in (".pdb", ".cif"):
-                name = name[:-4]
-            try:
-                parsed = parse_pdb(p, na_shared_tokens=bool(na_shared_tokens))
-                if len(parsed["S"]) == 0:
-                    raise ValueError("no residues parsed")
-            except Exception as e:  # noqa: BLE001 — skip-and-continue contract
-                parse_q.put(("err", name, p, e))
-                continue
-            parse_q.put(("ok", name, p, parsed))
-        parse_q.put(None)
+        try:
+            for p in pdb_paths:
+                if stop.is_set():
+                    return
+                name = os.path.basename(p)
+                if name[-4:] in (".pdb", ".cif"):
+                    name = name[:-4]
+                try:
+                    parsed = parse_pdb(p,
+                                       na_shared_tokens=bool(na_shared_tokens))
+                    if len(parsed["S"]) == 0:
+                        raise ValueError("no residues parsed")
+                except Exception as e:  # noqa: BLE001 — skip-and-continue
+                    if not _offer(("err", name, p, e)):
+                        return
+                    continue
+                if not _offer(("ok", name, p, parsed)):
+                    return
+        finally:
+            _offer(None)  # sentinel even on worker death -> no consumer hang
 
     threading.Thread(target=_parse_worker, daemon=True).start()
 
@@ -208,39 +226,59 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
             }
             per_structure(name, path, parsed, rows)
 
-    pending: Dict[int, List] = {}  # Lp -> partially-filled group (insertion order)
+    pending: Dict[int, List] = {}  # Lp -> partially-filled group
     inflight = None
     ready: List = []  # full groups as (group, Lp)
     done = False
-    while not done:
-        item = parse_q.get()
-        if item is None:
-            done = True
-            # flush partial groups in first-seen bucket order
-            ready.extend((grp, Lp) for Lp, grp in pending.items() if grp)
-        elif item[0] == "err":
-            _, name, p, e = item
-            if failed_dir is None:
-                raise e
-            os.makedirs(failed_dir, exist_ok=True)
-            with open(os.path.join(failed_dir, name + ".txt"), "w") as f:
-                f.write(f"{p}\n{type(e).__name__}: {e}\n")
-        else:
-            _, name, p, parsed = item
-            L = len(parsed["S"])
-            Lp = -(-max(L, 1) // bucket) * bucket
-            pending.setdefault(Lp, []).append((name, p, parsed))
-            if len(pending[Lp]) == batch_structures:
-                ready.append((pending.pop(Lp), Lp))
-        for group, Lp in ready:
-            key, sub = jax.random.split(key)
-            state = _dispatch(group, Lp, sub)
-            if inflight is not None:
+    try:
+        while not done:
+            item = parse_q.get()
+            if item is None:
+                done = True
+                # flush partial groups (dict insertion order — deterministic
+                # in the input order; a bucket that refills re-enters at the
+                # end)
+                ready.extend((grp, Lp) for Lp, grp in pending.items())
+            elif item[0] == "err":
+                _, name, p, e = item
+                if failed_dir is None:
+                    # NOTE: inputs stream, so structures decoded before this
+                    # one hit disk already; the except-path below still emits
+                    # the completed in-flight group before re-raising.
+                    raise e
+                os.makedirs(failed_dir, exist_ok=True)
+                with open(os.path.join(failed_dir, name + ".txt"), "w") as f:
+                    f.write(f"{p}\n{type(e).__name__}: {e}\n")
+            else:
+                _, name, p, parsed = item
+                L = len(parsed["S"])
+                Lp = -(-max(L, 1) // bucket) * bucket
+                pending.setdefault(Lp, []).append((name, p, parsed))
+                if len(pending[Lp]) == batch_structures:
+                    ready.append((pending.pop(Lp), Lp))
+            for group, Lp in ready:
+                key, sub = jax.random.split(key)
+                state = _dispatch(group, Lp, sub)
+                if inflight is not None:
+                    _emit(inflight)
+                inflight = state
+            ready.clear()
+        if inflight is not None:
+            _emit(inflight)
+            inflight = None
+    except BaseException:
+        stop.set()  # unblock + retire the parse worker
+        try:  # drain so a worker blocked in put() exits promptly
+            while True:
+                parse_q.get_nowait()
+        except queue.Empty:
+            pass
+        if inflight is not None:  # device work is done — keep its outputs
+            try:
                 _emit(inflight)
-            inflight = state
-        ready.clear()
-    if inflight is not None:
-        _emit(inflight)
+            except Exception:  # noqa: BLE001 — don't mask the original error
+                pass
+        raise
 
 
 def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
@@ -256,7 +294,11 @@ def design_structures(pdb_paths: List[str], checkpoint: str, out_folder: str,
     """Design sequences for every structure; returns
     {name: {"seq_rec": [S], "confidence": [S], "fasta_path": str}}.
     catch_failures records unparseable inputs under failed_inferences/
-    and continues (reference inference/run.py:585-617).
+    and continues (reference inference/run.py:585-617). Without it an
+    invalid input raises as soon as it is parsed; inputs stream through
+    the decode pipeline, so structures decoded earlier keep their output
+    files (same partial-output property as the reference's per-structure
+    fan-out).
     write_design_json additionally emits the per-structure
     <out>/<name>/design_json/<name>_<i>.json dicts the monomer-RNA eval
     pipeline consumes (harness.design_nucleic_acid_sequence contract) —

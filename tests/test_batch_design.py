@@ -197,6 +197,29 @@ def test_batch_design_failure_catcher(random_ckpt, tmp_path):
                           samples_per_structure=1, batch_structures=1, seed=1)
 
 
+def test_failure_raise_retires_parse_worker(random_ckpt, tmp_path):
+    """When an invalid input aborts the run, the parse-ahead thread must
+    exit (not stay blocked on the bounded queue) even with many inputs
+    still unparsed."""
+    import threading
+    import time
+
+    from na_mpnn_tpu.eval.batch_design import design_structures
+
+    bad = tmp_path / "garbage.pdb"
+    bad.write_text("not a pdb\n")
+    # bad first, then enough valid inputs to overfill the parse queue
+    paths = [str(bad)] + [f"{EXAMPLES}/4oqu.pdb"] * 40
+    before = threading.active_count()
+    with pytest.raises(Exception):
+        design_structures(paths, random_ckpt, str(tmp_path / "out"),
+                          samples_per_structure=1, batch_structures=4, seed=1)
+    deadline = time.time() + 15
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before
+
+
 def test_batch_design_cli(random_ckpt, tmp_path):
     import pandas as pd
     from na_mpnn_tpu.eval.batch_design import main
