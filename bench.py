@@ -32,6 +32,7 @@ dependency and ends with one host readback — on the axon relay,
 block_until_ready does not force remote execution but a readback does.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -275,7 +276,32 @@ def bench_peak_tflops():
     return 2 * d ** 3 * n / best / 1e12
 
 
+def _await_backend(timeout_s: float) -> None:
+    """Fail fast (instead of hanging forever) when the relay tile is wedged:
+    a killed-mid-init client has been observed to leave the remote session
+    held for 1h+, making every later backend init block inside
+    make_c_api_client. Probe device init on a daemon thread and abort with
+    a diagnostic if it does not come up in time."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({
+            "error": f"backend init did not complete in {timeout_s:.0f}s "
+                     "(relay tile wedged?); no measurement taken",
+        }))
+        raise SystemExit(1)
+
+
 def main():
+    _await_backend(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
     import jax
     import jax.numpy as jnp
     from na_mpnn_tpu.models import ModelConfig, init_params
