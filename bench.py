@@ -284,18 +284,29 @@ def _await_backend(timeout_s: float) -> None:
     a diagnostic if it does not come up in time."""
     import threading
 
-    ok = threading.Event()
+    done = threading.Event()
+    err = []
 
     def probe():
-        import jax
-        jax.devices()
-        ok.set()
+        try:
+            import jax
+            jax.devices()
+        except BaseException as e:  # noqa: BLE001 — reported, not swallowed
+            err.append(e)
+        finally:
+            done.set()
 
     threading.Thread(target=probe, daemon=True).start()
-    if not ok.wait(timeout_s):
+    if not done.wait(timeout_s):
         print(json.dumps({
             "error": f"backend init did not complete in {timeout_s:.0f}s "
                      "(relay tile wedged?); no measurement taken",
+        }))
+        raise SystemExit(1)
+    if err:
+        print(json.dumps({
+            "error": f"backend init failed: {type(err[0]).__name__}: "
+                     f"{err[0]}",
         }))
         raise SystemExit(1)
 

@@ -1,14 +1,19 @@
 """ctypes bindings for the native C++ structure parser
 (na_mpnn_tpu/native/na_parse.cc, shipped inside the package).
 
-The library self-builds with g++ on first use and caches the .so next to the
-source (or under ~/.cache/na-mpnn-tpu when the package directory is
-read-only); every caller falls back to the pure-Python parsers when the
-toolchain or build is unavailable (`native_available()`).
+The library self-builds with g++ on first use. The .so is cached next to
+the source (or under ~/.cache/na-mpnn-tpu when the package directory is
+read-only) under a name keyed by the source contents, so a package upgrade
+rebuilds instead of reusing a stale binary; builds write to a temp file and
+os.replace into place, so concurrent first users never load a half-written
+library. Every caller falls back to the pure-Python parsers when the
+toolchain, a writable cache location, or the build is unavailable
+(`native_available()`).
 """
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -20,33 +25,43 @@ _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "na_parse.cc")
 
-
-def _lib_path() -> str:
-    if os.access(_NATIVE_DIR, os.W_OK):
-        return os.path.join(_NATIVE_DIR, "libna_parse.so")
-    cache = os.path.join(os.path.expanduser("~"), ".cache", "na-mpnn-tpu")
-    os.makedirs(cache, exist_ok=True)
-    return os.path.join(cache, "libna_parse.so")
-
-
-_LIB = _lib_path()
-
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
 
 
-def _build() -> bool:
+def _lib_path() -> Optional[str]:
+    """Content-hashed target path, or None when nowhere is writable."""
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    name = f"libna_parse-{tag}.so"
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return os.path.join(_NATIVE_DIR, name)
+    try:
+        cache = os.path.join(os.path.expanduser("~"), ".cache", "na-mpnn-tpu")
+        os.makedirs(cache, exist_ok=True)
+        return os.path.join(cache, name)
+    except OSError:
+        return None
+
+
+def _build(lib_path: str) -> bool:
+    tmp = f"{lib_path}.tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC,
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC,
              "-lz"],
             check=True, capture_output=True)
+        os.replace(tmp, lib_path)  # atomic: readers never see partial writes
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         stderr = getattr(e, "stderr", b"")
         print("native parser build failed:",
               stderr.decode() if stderr else e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -55,13 +70,20 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
-            if not os.path.exists(_SRC) or not _build():
-                _build_failed = True
-                return None
-        lib = ctypes.CDLL(_LIB)
+        if not os.path.exists(_SRC):
+            _build_failed = True
+            return None
+        lib_path = _lib_path()
+        if lib_path is None or (
+                not os.path.exists(lib_path) and not _build(lib_path)):
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(lib_path)
+        except OSError as e:
+            print("native parser load failed:", e)
+            _build_failed = True
+            return None
         lib.na_parse_structure.restype = ctypes.c_void_p
         lib.na_parse_structure.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                            ctypes.c_int]

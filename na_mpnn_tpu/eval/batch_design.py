@@ -166,7 +166,8 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
         finally:
             _offer(None)  # sentinel even on worker death -> no consumer hang
 
-    threading.Thread(target=_parse_worker, daemon=True).start()
+    threading.Thread(target=_parse_worker, daemon=True,
+                     name="na-mpnn-parse-ahead").start()
 
     S_rep = samples_per_structure
     key = jax.random.PRNGKey(seed)
@@ -259,18 +260,31 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
             for group, Lp in ready:
                 key, sub = jax.random.split(key)
                 state = _dispatch(group, Lp, sub)
-                if inflight is not None:
-                    _emit(inflight)
-                inflight = state
+                # swap BEFORE emitting: if _emit raises, the except path
+                # must not re-emit the group it was already emitting
+                prev, inflight = inflight, state
+                if prev is not None:
+                    _emit(prev)
             ready.clear()
-        if inflight is not None:
-            _emit(inflight)
-            inflight = None
+        prev, inflight = inflight, None
+        if prev is not None:
+            _emit(prev)
     except BaseException:
         stop.set()  # unblock + retire the parse worker
         try:  # drain so a worker blocked in put() exits promptly
             while True:
-                parse_q.get_nowait()
+                item = parse_q.get_nowait()
+                # queued parse failures still get their failure record
+                if item is not None and item[0] == "err" \
+                        and failed_dir is not None:
+                    _, name, p, e = item
+                    try:
+                        os.makedirs(failed_dir, exist_ok=True)
+                        with open(os.path.join(failed_dir, name + ".txt"),
+                                  "w") as f:
+                            f.write(f"{p}\n{type(e).__name__}: {e}\n")
+                    except OSError:
+                        pass
         except queue.Empty:
             pass
         if inflight is not None:  # device work is done — keep its outputs

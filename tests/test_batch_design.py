@@ -210,14 +210,18 @@ def test_failure_raise_retires_parse_worker(random_ckpt, tmp_path):
     bad.write_text("not a pdb\n")
     # bad first, then enough valid inputs to overfill the parse queue
     paths = [str(bad)] + [f"{EXAMPLES}/4oqu.pdb"] * 40
-    before = threading.active_count()
     with pytest.raises(Exception):
         design_structures(paths, random_ckpt, str(tmp_path / "out"),
                           samples_per_structure=1, batch_structures=4, seed=1)
+
+    def worker_alive():
+        return any(t.name == "na-mpnn-parse-ahead" and t.is_alive()
+                   for t in threading.enumerate())
+
     deadline = time.time() + 15
-    while threading.active_count() > before and time.time() < deadline:
+    while worker_alive() and time.time() < deadline:
         time.sleep(0.1)
-    assert threading.active_count() <= before
+    assert not worker_alive()
 
 
 def test_batch_design_cli(random_ckpt, tmp_path):
