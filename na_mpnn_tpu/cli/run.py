@@ -145,9 +145,8 @@ def main(args):
         fixed_pos_by_pdb = {args.pdb_path: args.fixed_residues.split()}
 
     for pdb, fixed_residues in fixed_pos_by_pdb.items():
-        name = os.path.basename(pdb)
-        if name[-4:] in (".pdb", ".cif"):
-            name = name[:-4]
+        from ..data.seq_format import structure_name
+        name = structure_name(pdb)
 
         parsed = parse_pdb(
             pdb,
@@ -364,10 +363,9 @@ def cli_entry(argv=None):
                     fixed_pos_by_pdb = json.load(fh)
             else:
                 fixed_pos_by_pdb = {args.pdb_path: []}
+            from ..data.seq_format import structure_name
             for pdb in fixed_pos_by_pdb:
-                name = os.path.basename(pdb)
-                if name.endswith(".pdb"):
-                    name = name[:-4]
+                name = structure_name(pdb)
                 with open(base_folder + "failed_inferences/" + name + ".txt", "w") as f:
                     f.write(str(e))
 

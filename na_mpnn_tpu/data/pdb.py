@@ -116,6 +116,70 @@ def read_pdb_atoms(path: str, first_model_only: bool = True,
     return atoms
 
 
+def read_cif_atoms(path: str, first_model_only: bool = True) -> List[PDBAtom]:
+    """ATOM/HETATM records from an mmCIF atom_site table, with the same
+    filtering semantics as ``read_pdb_atoms`` (altloc ' '/'A', occupancy
+    > 0, first model only). Enables inference directly on mmCIF inputs —
+    a capability the reference lacks (its inference parser is PDB-format
+    only, reference inference/data_utils.py:84)."""
+    from .cif import _float_or, read_cif
+
+    at = read_cif(path)["atom_site"]
+    g = at.index.get
+    cols = {k: g(v) for k, v in [
+        ("group", "group_PDB"), ("symbol", "type_symbol"),
+        ("atm", "label_atom_id"), ("res", "label_comp_id"),
+        ("chain_auth", "auth_asym_id"), ("chain", "label_asym_id"),
+        ("num_auth", "auth_seq_id"), ("num", "label_seq_id"),
+        ("icode", "pdbx_PDB_ins_code"), ("alt", "label_alt_id"),
+        ("x", "Cartn_x"), ("y", "Cartn_y"), ("z", "Cartn_z"),
+        ("occ", "occupancy"), ("bfac", "B_iso_or_equiv"),
+        ("model", "pdbx_PDB_model_num"),
+    ]}
+
+    def field(row, key, default=""):
+        return row[cols[key]] if cols[key] is not None else default
+
+    atoms: List[PDBAtom] = []
+    first_model = None
+    for row in at.rows:
+        if cols["model"] is not None:
+            m = row[cols["model"]]
+            if first_model is None:
+                first_model = m
+            elif first_model_only and m != first_model:
+                break  # models are contiguous, like ENDMDL in PDB files
+        alt = field(row, "alt", ".")
+        if alt not in (".", "?", "", "A"):
+            continue
+        occ = _float_or(field(row, "occ", None), 1.0)
+        if occ <= 0:
+            continue
+        num = field(row, "num_auth") or field(row, "num")
+        try:
+            resnum = int(num)
+        except (TypeError, ValueError):
+            continue  # e.g. '.' on a mis-assigned ligand row
+        name = field(row, "atm").strip('"')
+        icode = field(row, "icode")
+        if icode in (".", "?"):
+            icode = ""
+        element = field(row, "symbol").upper()
+        if not element:
+            element = next((c.upper() for c in name if c.isalpha()), "")
+        try:
+            xyz = np.array([float(field(row, "x")), float(field(row, "y")),
+                            float(field(row, "z"))], dtype=np.float32)
+        except (TypeError, ValueError):
+            continue
+        atoms.append(PDBAtom(
+            field(row, "group", "ATOM"), len(atoms) + 1, name,
+            "A" if alt == "A" else " ", field(row, "res"),
+            field(row, "chain_auth") or field(row, "chain"), resnum, icode,
+            xyz, occ, _float_or(field(row, "bfac", None), 0.0), element, ""))
+    return atoms
+
+
 def _res_key(a: PDBAtom) -> Tuple[str, int, str]:
     return (a.chain, a.resnum, a.icode)
 
@@ -127,13 +191,17 @@ def parse_pdb(
     na_shared_tokens: bool = True,
     load_residues_with_missing_atoms: bool = False,
 ) -> Dict:
-    """Parse a PDB into the inference feature contract.
+    """Parse a PDB (or mmCIF — by extension) into the inference feature
+    contract.
 
     Returns a dict of numpy arrays mirroring the reference parse_PDB output
     (reference inference/data_utils.py:360-405) plus the raw backbone /
     ligand atom records for the PDB writer.
     """
-    atoms = read_pdb_atoms(input_path)
+    if input_path.endswith((".cif", ".cif.gz")):
+        atoms = read_cif_atoms(input_path)
+    else:
+        atoms = read_pdb_atoms(input_path)
     if chains:
         atoms = [a for a in atoms if a.chain in chains]
 

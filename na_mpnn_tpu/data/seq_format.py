@@ -14,6 +14,19 @@ import numpy as np
 from .. import constants
 
 
+def structure_name(path: str) -> str:
+    """Output-file stem for a structure input: basename minus .gz and the
+    .pdb/.cif extension (shared by the inference CLI and batch driver)."""
+    import os
+
+    name = os.path.basename(path)
+    if name.endswith(".gz"):
+        name = name[:-3]
+    if name[-4:] in (".pdb", ".cif"):
+        name = name[:-4]
+    return name
+
+
 def token_maps(na_shared_tokens: bool) -> Tuple[Dict, Dict, Dict]:
     """(str->int, int->str, dna_char->rna_char) for the 33-letter alphabet;
     with shared NA tokens, RNA letters map onto the DNA ints and the

@@ -146,12 +146,11 @@ def _run_batched(pdb_paths: List[str], checkpoint: str,
 
     def _parse_worker():
         try:
+            from ..data.seq_format import structure_name
             for p in pdb_paths:
                 if stop.is_set():
                     return
-                name = os.path.basename(p)
-                if name[-4:] in (".pdb", ".cif"):
-                    name = name[:-4]
+                name = structure_name(p)
                 try:
                     parsed = parse_pdb(p,
                                        na_shared_tokens=bool(na_shared_tokens))
