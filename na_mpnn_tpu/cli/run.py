@@ -144,13 +144,19 @@ def main(args):
     else:
         fixed_pos_by_pdb = {args.pdb_path: args.fixed_residues.split()}
 
+    from ..data.seq_format import structure_name
+
     for pdb, fixed_residues in fixed_pos_by_pdb.items():
-        from ..data.seq_format import structure_name
         name = structure_name(pdb)
 
         parsed = parse_pdb(
             pdb,
-            chains=list(args.parse_these_chains_only) if args.parse_these_chains_only else None,
+            # 'ABCF' (reference form, one letter per chain) or 'AA,BB'
+            # (comma-separated, for multi-character mmCIF chain IDs)
+            chains=(args.parse_these_chains_only.split(",")
+                    if "," in args.parse_these_chains_only
+                    else list(args.parse_these_chains_only))
+            if args.parse_these_chains_only else None,
             parse_na_only=bool(args.parse_na_only),
             na_shared_tokens=bool(args.na_shared_tokens),
             load_residues_with_missing_atoms=bool(args.load_residues_with_missing_atoms),

@@ -124,7 +124,11 @@ def read_cif_atoms(path: str, first_model_only: bool = True) -> List[PDBAtom]:
     only, reference inference/data_utils.py:84)."""
     from .cif import _float_or, read_cif
 
-    at = read_cif(path)["atom_site"]
+    tables = read_cif(path)
+    if "atom_site" not in tables:
+        raise ValueError(f"{path}: no atom_site category — not a structure "
+                         "mmCIF (chemical-component or truncated file?)")
+    at = tables["atom_site"]
     g = at.index.get
     cols = {k: g(v) for k, v in [
         ("group", "group_PDB"), ("symbol", "type_symbol"),
@@ -139,6 +143,12 @@ def read_cif_atoms(path: str, first_model_only: bool = True) -> List[PDBAtom]:
 
     def field(row, key, default=""):
         return row[cols[key]] if cols[key] is not None else default
+
+    def token(row, key):
+        """Field with mmCIF null markers ('.', '?') mapped to '' so
+        `token(...) or fallback` chains actually fall back."""
+        v = field(row, key)
+        return "" if v in (".", "?") else v
 
     atoms: List[PDBAtom] = []
     first_model = None
@@ -155,16 +165,14 @@ def read_cif_atoms(path: str, first_model_only: bool = True) -> List[PDBAtom]:
         occ = _float_or(field(row, "occ", None), 1.0)
         if occ <= 0:
             continue
-        num = field(row, "num_auth") or field(row, "num")
+        num = token(row, "num_auth") or token(row, "num")
         try:
             resnum = int(num)
         except (TypeError, ValueError):
-            continue  # e.g. '.' on a mis-assigned ligand row
+            continue  # no usable numbering in either scheme
         name = field(row, "atm").strip('"')
-        icode = field(row, "icode")
-        if icode in (".", "?"):
-            icode = ""
-        element = field(row, "symbol").upper()
+        icode = token(row, "icode")
+        element = token(row, "symbol").upper()
         if not element:
             element = next((c.upper() for c in name if c.isalpha()), "")
         try:
@@ -175,7 +183,8 @@ def read_cif_atoms(path: str, first_model_only: bool = True) -> List[PDBAtom]:
         atoms.append(PDBAtom(
             field(row, "group", "ATOM"), len(atoms) + 1, name,
             "A" if alt == "A" else " ", field(row, "res"),
-            field(row, "chain_auth") or field(row, "chain"), resnum, icode,
+            token(row, "chain_auth") or token(row, "chain") or "A",
+            resnum, icode,
             xyz, occ, _float_or(field(row, "bfac", None), 0.0), element, ""))
     return atoms
 
@@ -198,7 +207,8 @@ def parse_pdb(
     (reference inference/data_utils.py:360-405) plus the raw backbone /
     ligand atom records for the PDB writer.
     """
-    if input_path.endswith((".cif", ".cif.gz")):
+    low = input_path.lower()
+    if low.endswith((".cif", ".cif.gz", ".mmcif", ".mmcif.gz")):
         atoms = read_cif_atoms(input_path)
     else:
         atoms = read_pdb_atoms(input_path)
@@ -352,8 +362,11 @@ def _format_atom_line(a: PDBAtom, resname: str, bfactor: float, serial: int) -> 
     name = a.name
     if len(name) < 4 and len(a.element) < 2:
         name = " " + name
+    # PDB format has a single chain column; multi-char mmCIF chain IDs are
+    # truncated to their first character here (the FASTA/npz outputs keep
+    # the full ID).
     return (f"{a.record:<6}{serial:>5} {name:<4}{a.altloc if a.altloc != ' ' else ' '}"
-            f"{resname:>3} {a.chain}{a.resnum:>4}{a.icode if a.icode else ' '}   "
+            f"{resname:>3} {(a.chain + ' ')[:1]}{a.resnum:>4}{a.icode if a.icode else ' '}   "
             f"{a.xyz[0]:8.3f}{a.xyz[1]:8.3f}{a.xyz[2]:8.3f}{a.occupancy:6.2f}"
             f"{bfactor:6.2f}          {a.element:>2}")
 

@@ -20,10 +20,12 @@ def structure_name(path: str) -> str:
     import os
 
     name = os.path.basename(path)
-    if name.endswith(".gz"):
+    if name.lower().endswith(".gz"):
         name = name[:-3]
-    if name[-4:] in (".pdb", ".cif"):
-        name = name[:-4]
+    for ext in (".pdb", ".cif", ".mmcif"):
+        if name.lower().endswith(ext):
+            name = name[:-len(ext)]
+            break
     return name
 
 

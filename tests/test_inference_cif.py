@@ -115,6 +115,65 @@ def test_parse_pdb_on_cif_matches_pdb(tmp_path):
         assert p_cif["na_chain_letters"] == p_ref["na_chain_letters"]
 
 
+def test_cif_null_tokens_and_multichar_chains(tmp_path):
+    """mmCIF '.'/'?' null markers fall back across numbering/chain/element
+    schemes instead of being taken literally, and multi-character auth
+    chain IDs survive."""
+    text = """data_X
+#
+loop_
+_atom_site.group_PDB
+_atom_site.type_symbol
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.label_asym_id
+_atom_site.auth_seq_id
+_atom_site.label_seq_id
+_atom_site.label_alt_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.occupancy
+_atom_site.B_iso_or_equiv
+ATOM C CA GLY . B . 5 . 1.0 2.0 3.0 1.0 10.0
+ATOM ? "C1'" DA AA X 7 7 . 4.0 5.0 6.0 1.0 10.0
+"""
+    p = tmp_path / "n.cif"
+    p.write_text(text)
+    atoms = read_cif_atoms(str(p))
+    assert len(atoms) == 2
+    # null auth_seq_id / auth_asym_id fall back to the label scheme
+    assert atoms[0].resnum == 5 and atoms[0].chain == "B"
+    # null type_symbol falls back to the atom-name element convention
+    assert atoms[0].element == "C"
+    # multi-character auth chain IDs are kept verbatim
+    assert atoms[1].chain == "AA" and atoms[1].resnum == 7
+    assert atoms[1].element == "C"
+
+
+def test_cif_without_atom_site_raises_value_error(tmp_path):
+    p = tmp_path / "comp.cif"
+    p.write_text("data_PX4\n_chem_comp.id PX4\n")
+    try:
+        read_cif_atoms(str(p))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "atom_site" in str(e)
+
+
+def test_uppercase_and_mmcif_extensions(tmp_path):
+    recs = _make_atoms(seed=2)
+    ref = parse_pdb(_write_pdb(tmp_path / "s.pdb", recs))
+    for name in ("S.CIF", "s.mmcif"):
+        got = parse_pdb(_write_cif(tmp_path / name, recs))
+        np.testing.assert_array_equal(np.asarray(got["S"]),
+                                      np.asarray(ref["S"]))
+    from na_mpnn_tpu.data.seq_format import structure_name
+    assert structure_name("/a/S.CIF") == "S"
+    assert structure_name("/a/s.mmcif.gz") == "s"
+
+
 def test_design_cli_accepts_cif(tmp_path):
     """The inference CLI runs end-to-end on an mmCIF input."""
     import jax
