@@ -102,6 +102,31 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
+def test_pt_export_loads_into_reference_model(tmp_path):
+    """Our exported .pt checkpoint must load into the reference torch model
+    with strict=True — key-for-key, shape-for-shape schema interchange, so
+    reference users can consume checkpoints trained here."""
+    import torch
+
+    from na_mpnn_tpu.train.checkpoint import save_torch_checkpoint
+    from ref_oracle import make_ref_inference_model
+
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    pt = str(tmp_path / "export.pt")
+    save_torch_checkpoint(pt, params, CFG, meta={"step": 7, "epoch": 1,
+                                                 "save_step": 0})
+    payload = torch.load(pt, map_location="cpu", weights_only=False)
+    model = make_ref_inference_model(seed=0)
+    missing_unexpected = model.load_state_dict(payload["model_state_dict"],
+                                               strict=True)
+    assert not missing_unexpected.missing_keys
+    assert not missing_unexpected.unexpected_keys
+    # spot-check an actual tensor round-trips into the torch module
+    w_out = np.asarray(params["W_out"]["w"]).T
+    np.testing.assert_allclose(model.W_out.weight.detach().numpy(), w_out,
+                               atol=0)
+
+
 def test_losses():
     from na_mpnn_tpu.train.losses import (loss_nll, loss_smoothed,
                                           make_polymer_restype_masks,
