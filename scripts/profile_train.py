@@ -5,7 +5,11 @@
   - grad with threefry vs rbg RNG for the step keys
   - training-mode forward only (dropout on, no grad)
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
