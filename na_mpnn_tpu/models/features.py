@@ -84,8 +84,11 @@ def positional_embed(p, offset, E_chains, max_relative_feature):
     na_model_utils.py:336-347)."""
     d = jnp.clip(offset + max_relative_feature, 0, 2 * max_relative_feature)
     d = d * E_chains + (1 - E_chains) * (2 * max_relative_feature + 1)
-    d_onehot = jax.nn.one_hot(d, 2 * max_relative_feature + 2, dtype=p["w"].dtype)
-    return linear(p, d_onehot)
+    # Row-gather of the embedding table: exactly linear(p, one_hot(d)) — the
+    # one-hot matmul would pad a 66-wide contraction onto the MXU and
+    # materialize a [B,L,K,66] intermediate for nothing.
+    out = p["w"][d]
+    return out + p["b"] if "b" in p else out
 
 
 def augment_coordinates(X, X_m, batch, cfg: ModelConfig, key):
