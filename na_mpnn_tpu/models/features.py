@@ -99,7 +99,8 @@ def augment_coordinates(X, X_m, batch, cfg: ModelConfig, key):
         + batch["dna_mask"] * cfg.dna_augment_eps
         + batch["rna_mask"] * cfg.rna_augment_eps
     ).astype(X.dtype)
-    noise = jax.random.normal(key, X.shape, X.dtype)
+    from .modules import _bulk_mask_key
+    noise = jax.random.normal(_bulk_mask_key(key), X.shape, X.dtype)
     return X + X_m[:, :, :, None].astype(X.dtype) * augment_eps[:, :, None, None] * noise
 
 
@@ -173,15 +174,11 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         _, E_idx = knn_graph(X_ref, mask, cfg.k_neighbors)
 
     # Relative position + same-chain indicator, computed per edge.
+    from .modules import take_rows
     R_idx = batch["R_idx"].astype(jnp.int32)
-    R_idx_g = jnp.take_along_axis(R_idx, E_idx.reshape(R_idx.shape[0], -1), axis=1)
-    offset = R_idx[:, :, None] - R_idx_g.reshape(E_idx.shape)
+    offset = R_idx[:, :, None] - take_rows(R_idx, E_idx)
     chain_labels = batch["chain_labels"].astype(jnp.int32)
-    cl_g = jnp.take_along_axis(chain_labels, E_idx.reshape(R_idx.shape[0], -1), axis=1)
-    E_chains = (chain_labels[:, :, None] == cl_g.reshape(E_idx.shape)).astype(jnp.int32)
-
-    E_positional = positional_embed(p["positional"], offset, E_chains,
-                                    cfg.max_relative_feature)
+    E_chains = (chain_labels[:, :, None] == take_rows(chain_labels, E_idx)).astype(jnp.int32)
 
     # Split edge embedding: W_edge rows [0:16) act on the positional block and
     # the rest on the RBF block — algebraically identical to embedding the
@@ -190,6 +187,17 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     # [B,L,K,5184] tensor never reaches HBM).
     n_pos = cfg.num_positional_embeddings
     W = p["edge_embedding"]["w"]
+
+    # Positional block folded THROUGH the projection: (table[d]+b) @ W_pos ==
+    # (table @ W_pos)[d] + b @ W_pos — one [66,H] row-gather per edge instead
+    # of a [B,L,K,16] gather plus a 16-deep (MXU-hostile) matmul.
+    d = jnp.clip(offset + cfg.max_relative_feature, 0,
+                 2 * cfg.max_relative_feature)
+    d = d * E_chains + (1 - E_chains) * (2 * cfg.max_relative_feature + 1)
+    pos_table = jnp.dot(p["positional"]["w"], W[:n_pos])       # [66,H]
+    pos_const = (jnp.dot(p["positional"]["b"], W[:n_pos])
+                 if "b" in p["positional"] else 0.0)
+    E_pos_proj = jnp.take(pos_table, d, axis=0, mode="clip") + pos_const
     # The fused RBF kernels are specialized to the 18-atom backbone layout;
     # the 67-atom "all" table takes the shape-generic XLA path.
     if use_pallas and cfg.atom_table == "backbone":
@@ -208,7 +216,7 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     else:
         RBF_all = all_pair_rbf(X_aug, E_idx, X_m_aug, cfg.num_rbf)
         E_rbf = jnp.dot(RBF_all, W[n_pos:])
-    E = jnp.dot(E_positional, W[:n_pos]) + E_rbf
+    E = E_pos_proj + E_rbf
     E = layer_norm(p["norm_edges"], E)
 
     V = jax.nn.one_hot(batch["R_polymer_type"], cfg.num_polytypes,

@@ -45,11 +45,20 @@ def layer_norm(p, x):
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+def _bulk_mask_key(key):
+    """Derive an `unsafe_rbg` key (lowered to XLA RngBitGenerator — an order
+    of magnitude cheaper per word than threefry on TPU) for BULK mask draws.
+    Purely a function of `key`, so determinism-per-key is preserved; the
+    derivation itself is one 4-word threefry draw."""
+    data = jax.random.bits(key, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="unsafe_rbg")
+
+
 def dropout(x, rate: float, key: Optional[jax.Array], deterministic: bool):
     if deterministic or rate <= 0.0 or key is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
+    mask = jax.random.bernoulli(_bulk_mask_key(key), p=keep, shape=x.shape)
     return jnp.where(mask, x / keep, 0.0)
 
 
@@ -57,12 +66,26 @@ def dropout(x, rate: float, key: Optional[jax.Array], deterministic: bool):
 # Graph gathers (the sparse primitives; reference na_model_utils.py:168-193)
 # ---------------------------------------------------------------------------
 
+def take_rows(x, idx):
+    """Per-batch row gather: x [B,L,...], idx [B,...] int -> out[b,t]=x[b,idx[b,t]]
+    with out.shape = idx.shape + x.shape[2:].
+
+    Lowered as ONE flat row-gather over [B*L, C]: `take_along_axis` with
+    broadcast multi-dim indices lowers to an elementwise gather whose index
+    tensor is the full output shape — measured 2.2 s for a 188 MB operand on
+    the TPU relay, vs ~1 ms for this form."""
+    B, L = x.shape[:2]
+    rest = x.shape[2:]
+    x2 = x.reshape(B * L, -1)
+    flat = (jnp.arange(B, dtype=jnp.int32).reshape((B,) + (1,) * (idx.ndim - 1))
+            * L + idx).reshape(-1)
+    out = jnp.take(x2, flat, axis=0, mode="clip")
+    return out.reshape(idx.shape + rest)
+
+
 def gather_nodes(nodes, neighbor_idx):
     """Features [B,L,C] at neighbor indices [B,L,K] -> [B,L,K,C]."""
-    B, L, C = nodes.shape
-    flat_idx = neighbor_idx.reshape(B, -1)  # [B, L*K]
-    gathered = jnp.take_along_axis(nodes, flat_idx[:, :, None], axis=1)
-    return gathered.reshape(*neighbor_idx.shape, C)
+    return take_rows(nodes, neighbor_idx)
 
 
 def gather_edges(edges, neighbor_idx):

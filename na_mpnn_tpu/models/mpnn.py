@@ -91,9 +91,9 @@ def autoregressive_edge_masks(decoding_order, E_idx, mask):
     Replaces the reference O(L^2) one-hot/triu einsum
     (na_model_utils.py:624-631) with an O(L*K) rank comparison.
     """
+    from .modules import take_rows
     rank = decode_rank(decoding_order)  # [B,L]
-    B = rank.shape[0]
-    rank_j = jnp.take_along_axis(rank, E_idx.reshape(B, -1), axis=1).reshape(E_idx.shape)
+    rank_j = take_rows(rank, E_idx)
     attend = (rank_j < rank[:, :, None]).astype(jnp.float32)[..., None]  # [B,L,K,1]
     mask_1d = mask.astype(jnp.float32)[:, :, None, None]
     return mask_1d * attend, mask_1d * (1.0 - attend)
@@ -581,14 +581,32 @@ def _sample_scan(params, cfg: ModelConfig, h_V0, h_E, E_idx, mask,
                  chain_mask, S_true, decoding_order, key_steps, temperature,
                  bias, pair_bias_ctx):
     """Shared autoregressive decode scan over a fully-prepared decode batch
-    (every operand already [B,...])."""
+    (every operand already [B,...]).
+
+    Latency-optimized formulation of the reference per-position loop
+    (inference/model_utils.py:164-216). Three structural moves cut the
+    per-step op chain from ~10 dynamic gathers + 5 full-width scatters to
+    2 gathers + 2 row scatters:
+
+    * Every per-step read of STATIC data (edge features, causal masks,
+      encoder-node edge terms, bias, chain masks) is pre-permuted into
+      decode order once and fed to the scan as sliced `xs` — the scan body
+      never random-accesses static arrays.
+    * The per-layer concat(h_Vi, h_E, h_Sj, h_Vj) @ W1 is split per block
+      (as in the parallel decoder): the h_E and encoder-node blocks are
+      static per layer; layer 0's decoder-node block gathers h_V_stack[0]
+      = the encoder output, also static. Only the h_S block and layers>=1
+      node blocks remain dynamic — one neighbor gather each per step (the
+      mid-stack levels are feature-concatenated so ONE gather serves all).
+    * The final stack level is never gathered by later steps (a node's
+      self-edge is always causally masked), so it is not stored; per-step
+      probability rows are emitted as scan outputs and un-permuted once at
+      the end instead of scattered into [B,L,nl] carries every step.
+    """
     B, L = mask.shape
+    K = E_idx.shape[-1]
     nl = cfg.num_letters
     mask_bw, mask_fw = autoregressive_edge_masks(decoding_order, E_idx, mask)
-
-    h_EX_encoder = cat_neighbors_nodes(jnp.zeros_like(h_V0), h_E, E_idx)
-    h_EXV_encoder = cat_neighbors_nodes(h_V0, h_EX_encoder, E_idx)
-    h_EXV_encoder_fw = mask_fw * h_EXV_encoder  # [B,L,K,3H]
 
     fdtype = h_V0.dtype
     if bias is None:
@@ -599,77 +617,125 @@ def _sample_scan(params, cfg: ModelConfig, h_V0, h_E, E_idx, mask,
     n_dec = cfg.num_decoder_layers
     H = cfg.hidden_dim
     omit = jnp.zeros((nl,), fdtype).at[jnp.asarray(_OMIT_ALWAYS)].set(1.0)
+    mask_bw = mask_bw.astype(fdtype)
+    mask_fw = mask_fw.astype(fdtype)
+    mask_1d = mask.astype(fdtype)[:, :, None, None]
+
+    # Per-layer static edge terms: e + (causally mixed) encoder-node + b1.
+    # Layer 0 reads h_V_stack[0] = h_V0 for its decoder-node block, so
+    # mask_bw*venc + mask_fw*venc = mask_1d*venc absorbs it statically.
+    from .modules import _message_tail, _split_w1, layer_norm, pff_apply
+    w_splits = [_split_w1(p, H) for p in params["decoder"]]
+    statics = []
+    for l, ((wa, wb, ws, wv), b1) in enumerate(w_splits):
+        venc = gather_nodes(jnp.dot(h_V0, wv.astype(fdtype)), E_idx)
+        coeff = mask_1d if l == 0 else mask_fw
+        statics.append(mask_1d * jnp.dot(h_E, wb.astype(fdtype))
+                       + coeff * venc + b1.astype(fdtype))
+    statics = jnp.stack(statics, axis=2)  # [B,L,n_dec,K,H]
+
+    rank = decode_rank(decoding_order)  # [B,L]: step at which position decodes
+
+    def perm(x):
+        """Reorder positions ([B,L,...]) into decode order, time-major
+        [L,B,...], as one flat row-gather (see modules.take_rows)."""
+        from .modules import take_rows
+        return jnp.moveaxis(take_rows(x, decoding_order), 1, 0)
+
+    xs = {
+        "t": decoding_order.T,                      # [L,B]
+        "E_idx": perm(E_idx),                       # [L,B,K]
+        "mask_bw": perm(mask_bw[..., 0]),           # [L,B,K]
+        "static": perm(statics),                    # [L,B,n_dec,K,H]
+        "h_V0": perm(h_V0),                         # [L,B,H]
+        "chain_mask": perm(chain_mask),             # [L,B]
+        "mask": perm(mask),                         # [L,B]
+        "bias": perm(bias),                         # [L,B,nl]
+        "S_true": perm(S_true),                     # [L,B]
+        "key": jax.random.split(key_steps, L),
+    }
 
     init_carry = {
-        "h_V_stack": jnp.concatenate(
-            [h_V0[None], jnp.zeros((n_dec, B, L, H), fdtype)], axis=0),
         "h_S": jnp.zeros((B, L, H), fdtype),
-        "S": jnp.full((B, L), nl - 1, jnp.int32),
-        "all_probs": jnp.zeros((B, L, nl), fdtype),
-        "all_log_probs": jnp.zeros((B, L, nl), fdtype),
     }
-    step_keys = jax.random.split(key_steps, L)
+    if n_dec > 1:
+        init_carry["h_V_mid"] = jnp.zeros((B, L, (n_dec - 1) * H), fdtype)
+    if pair_bias_ctx is not None:
+        init_carry["S"] = jnp.full((B, L), nl - 1, jnp.int32)
     b_idx = jnp.arange(B)
 
-    def step(carry, inp):
-        t_step, skey = inp
-        t = decoding_order[:, t_step]                    # [B]
-        chain_mask_t = chain_mask[b_idx, t]              # [B]
-        mask_t = mask[b_idx, t]                          # [B]
-        bias_t = bias[b_idx, t]                          # [B,nl]
-        E_idx_t = E_idx[b_idx, t][:, None, :]            # [B,1,K]
-        h_E_t = h_E[b_idx, t][:, None]                   # [B,1,K,H]
-        h_ES_t = cat_neighbors_nodes(carry["h_S"], h_E_t, E_idx_t)
-        h_EXV_t = h_EXV_encoder_fw[b_idx, t][:, None]    # [B,1,K,3H]
-        mask_bw_t = mask_bw[b_idx, t][:, None]           # [B,1,K,1]
+    def step(carry, x):
+        t = x["t"]                                   # [B]
+        bw = x["mask_bw"][..., None]                 # [B,K,1]
+        # Dynamic neighbor context: decoded-sequence embeddings and the
+        # mid-stack node features, one gather each.
+        from .modules import take_rows
+        s_nb = bw * take_rows(carry["h_S"], x["E_idx"])             # [B,K,H]
+        if n_dec > 1:
+            mid_nb = bw * take_rows(carry["h_V_mid"], x["E_idx"])
 
-        h_V_stack = carry["h_V_stack"]
+        h_V_t = x["h_V0"]                            # [B,H]
+        mask_t = x["mask"].astype(fdtype)
+        mid_out = []
         for l, layer_params in enumerate(params["decoder"]):
-            h_ESV_dec_t = cat_neighbors_nodes(h_V_stack[l], h_ES_t, E_idx_t)
-            h_V_t = h_V_stack[l][b_idx, t][:, None]      # [B,1,H]
-            h_ESV_t = mask_bw_t * h_ESV_dec_t + h_EXV_t
-            out = dec_layer_apply(layer_params, h_V_t, h_ESV_t, mask_V=mask_t[:, None])
-            # mask_V (f32) promotes the layer output; cast back before the
-            # scatter into the fdtype-typed stack.
-            h_V_stack = h_V_stack.at[l + 1, b_idx, t].set(
-                out[:, 0].astype(fdtype))
+            (wa, _, ws, wv), _ = w_splits[l]
+            xin = (jnp.dot(h_V_t, wa.astype(fdtype))[:, None, :]
+                   + jnp.dot(s_nb, ws.astype(fdtype)) + x["static"][:, l])
+            if l >= 1:
+                xin = xin + jnp.dot(mid_nb[..., (l - 1) * H:l * H],
+                                    wv.astype(fdtype))
+            h_message = _message_tail(layer_params, xin)  # [B,K,H]
+            dh = jnp.sum(h_message, axis=1) / 30.0
+            h_V_t = layer_norm(layer_params["norm1"], h_V_t + dh)
+            dh = pff_apply(layer_params["dense"], h_V_t)
+            h_V_t = layer_norm(layer_params["norm2"], h_V_t + dh)
+            h_V_t = (mask_t[:, None] * h_V_t).astype(fdtype)
+            if l + 1 <= n_dec - 1:
+                mid_out.append(h_V_t)
 
-        h_V_t = h_V_stack[n_dec, b_idx, t]               # [B,H]
-        logits = linear(params["W_out"], h_V_t)          # [B,nl]
+        logits = linear(params["W_out"], h_V_t)      # [B,nl]
         log_probs = jax.nn.log_softmax(logits, axis=-1)
 
-        total_bias = bias_t
+        total_bias = x["bias"]
         if pair_bias_ctx is not None:
             total_bias = total_bias + _pair_bias_step(pair_bias_ctx, t, carry["S"])
         probs = jax.nn.softmax((logits + total_bias) / temperature, axis=-1)
         probs = probs * (1.0 - omit)
         probs_sample = probs / jnp.sum(probs, axis=-1, keepdims=True)
 
-        S_t = jax.random.categorical(skey, jnp.log(probs_sample + 1e-30), axis=-1)
-        S_true_t = S_true[b_idx, t]
-        S_t = jnp.where(chain_mask_t > 0, S_t, S_true_t).astype(jnp.int32)
+        S_t = jax.random.categorical(x["key"], jnp.log(probs_sample + 1e-30),
+                                     axis=-1)
+        cm_t = x["chain_mask"]
+        S_t = jnp.where(cm_t > 0, S_t, x["S_true"]).astype(jnp.int32)
 
-        carry = {
-            "h_V_stack": h_V_stack,
-            "h_S": carry["h_S"].at[b_idx, t].set(
-                embed_tokens(params, S_t).astype(fdtype)),
-            "S": carry["S"].at[b_idx, t].set(S_t),
-            "all_probs": carry["all_probs"].at[b_idx, t].set(
-                (chain_mask_t[:, None] * probs_sample).astype(fdtype)),
-            "all_log_probs": carry["all_log_probs"].at[b_idx, t].set(
-                (chain_mask_t[:, None] * log_probs).astype(fdtype)),
-        }
-        return carry, None
+        carry = dict(carry)
+        carry["h_S"] = carry["h_S"].at[b_idx, t].set(
+            embed_tokens(params, S_t).astype(fdtype))
+        if n_dec > 1:
+            carry["h_V_mid"] = carry["h_V_mid"].at[b_idx, t].set(
+                jnp.concatenate(mid_out, axis=-1))
+        if pair_bias_ctx is not None:
+            carry["S"] = carry["S"].at[b_idx, t].set(S_t)
+        ys = (S_t,
+              (cm_t[:, None] * probs_sample).astype(fdtype),
+              (cm_t[:, None] * log_probs).astype(fdtype))
+        return carry, ys
 
-    carry, _ = jax.lax.scan(step, init_carry, (jnp.arange(L), step_keys))
+    _, (S_seq, probs_seq, log_probs_seq) = jax.lax.scan(step, init_carry, xs)
+
+    # Un-permute the per-step outputs back to position order: position i of
+    # row b was decoded at step rank[b,i].
+    def unperm(y):  # [L,B,...] -> [B,L,...]
+        from .modules import take_rows
+        return take_rows(jnp.moveaxis(y, 0, 1), rank)
 
     # The reference never writes the PAD column of sampling_probs
     # (scatter over num_letters-1; inference/model_utils.py:211) — it is zero
     # there too since PAD is omitted, so semantics agree.
     return {
-        "S": carry["S"],
-        "sampling_probs": carry["all_probs"],
-        "log_probs": carry["all_log_probs"],
+        "S": unperm(S_seq),
+        "sampling_probs": unperm(probs_seq),
+        "log_probs": unperm(log_probs_seq),
         "decoding_order": decoding_order,
     }
 
