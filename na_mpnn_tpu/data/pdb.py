@@ -199,6 +199,7 @@ def parse_pdb(
     parse_na_only: bool = False,
     na_shared_tokens: bool = True,
     load_residues_with_missing_atoms: bool = False,
+    parse_all_atoms: bool = False,
 ) -> Dict:
     """Parse a PDB (or mmCIF — by extension) into the inference feature
     contract.
@@ -212,6 +213,13 @@ def parse_pdb(
         atoms = read_cif_atoms(input_path)
     else:
         atoms = read_pdb_atoms(input_path)
+    # Chain indices enumerate chains by first appearance in the FULL file —
+    # they keep their values under chain subsetting, as ProDy chindices do
+    # (the reference's chain_labels are getChindices of a selection).
+    chain_to_idx: Dict[str, int] = {}
+    for a in atoms:
+        if a.chain not in chain_to_idx:
+            chain_to_idx[a.chain] = len(chain_to_idx)
     if chains:
         atoms = [a for a in atoms if a.chain in chains]
 
@@ -245,6 +253,13 @@ def parse_pdb(
     if L == 0:
         raise ValueError(f"{input_path}: no protein/nucleic residues found")
 
+    # The 65-wide table's column layout follows the parse mode, exactly as
+    # the reference builds atom_order from its mode-dependent atom_types list
+    # (inference/data_utils.py:154-165): backbone-only parses use the 16-atom
+    # ordering in the leading columns, all-atom parses the 65-atom ordering.
+    atom_types = constants.ALL_ATOMS if parse_all_atoms \
+        else constants.BACKBONE_ATOMS
+    atom_order = {a: i for i, a in enumerate(atom_types)}
     xyz_65 = np.zeros([L, constants.NUM_ALL_ATOMS, 3], np.float32)
     xyz_65_m = np.zeros([L, constants.NUM_ALL_ATOMS], np.int32)
     backbone_atoms: List[List[PDBAtom]] = [[] for _ in range(L)]
@@ -253,7 +268,7 @@ def parse_pdb(
         i = ref_index.get(_res_key(a))
         if i is None:
             continue
-        j = constants.ALL_ATOM_ORDER.get(a.name)
+        j = atom_order.get(a.name)
         if j is not None:
             xyz_65[i, j] = a.xyz
             xyz_65_m[i, j] = 1
@@ -261,7 +276,7 @@ def parse_pdb(
                                    or (is_nucleic(a) and a.name in constants.RNA_BACKBONE_ATOMS)):
             backbone_atoms[i].append(a)
 
-    bb_idx = [constants.ALL_ATOM_ORDER[a] for a in constants.BACKBONE_ATOMS]
+    bb_idx = [atom_order[a] for a in constants.BACKBONE_ATOMS]
     X = xyz_65[:, bb_idx]
     X_m = xyz_65_m[:, bb_idx]
 
@@ -270,17 +285,11 @@ def parse_pdb(
     icodes = [m[2] for m in ref_meta]
     resnames = [m[3] for m in ref_meta]
 
-    # Chain indices in order of first appearance.
-    chain_order: List[str] = []
-    for c in chain_letters:
-        if c not in chain_order:
-            chain_order.append(c)
-    chain_to_idx = {c: i for i, c in enumerate(chain_order)}
     chain_labels = np.array([chain_to_idx[c] for c in chain_letters], np.int32)
 
-    protein_bb65 = [constants.ALL_ATOM_ORDER[a] for a in constants.PROTEIN_BACKBONE_ATOMS]
-    dna_bb65 = [constants.ALL_ATOM_ORDER[a] for a in constants.DNA_BACKBONE_ATOMS]
-    rna_bb65 = [constants.ALL_ATOM_ORDER[a] for a in constants.RNA_BACKBONE_ATOMS]
+    protein_bb65 = [atom_order[a] for a in constants.PROTEIN_BACKBONE_ATOMS]
+    dna_bb65 = [atom_order[a] for a in constants.DNA_BACKBONE_ATOMS]
+    rna_bb65 = [atom_order[a] for a in constants.RNA_BACKBONE_ATOMS]
 
     if load_residues_with_missing_atoms:
         protein_mask = np.array([r in constants.PROTEIN_RESTYPES for r in resnames], np.int32)
@@ -293,7 +302,7 @@ def parse_pdb(
         # inference/data_utils.py:314-318).
         dna_mask = (np.prod(xyz_65_m[:, dna_bb65], axis=-1).astype(np.int32) - rna_mask)
 
-    rna_mask_for_token_conversion = xyz_65_m[:, constants.ALL_ATOM_ORDER["O2'"]].astype(np.int32)
+    rna_mask_for_token_conversion = xyz_65_m[:, atom_order["O2'"]].astype(np.int32)
     mask = protein_mask + dna_mask + rna_mask
 
     pt = constants.POLYTYPE_TO_INT
