@@ -266,3 +266,234 @@ def test_automorphisms_respect_charge_and_bond_order(tmp_path):
     assert not any("O3" in row for row in autos.tolist())
     swapped = [row for row in autos.tolist() if row != autos[0].tolist()]
     assert swapped and set(swapped[0]) == {"O1", "O2"}
+
+
+# ---------------------------------------------------------------------------
+# Molecule topology + featurization (reference obutils.py:159-413)
+# ---------------------------------------------------------------------------
+
+def _atom(name, sym, xyz, charge=0, stereo="N"):
+    return {"atom_id": name, "symbol": sym, "charge": charge, "leaving": False,
+            "align": 0, "stereo": stereo, "aromatic": False, "xyz": list(xyz)}
+
+
+def _bond(a, b, order=1, aromatic=False):
+    return {"a": a, "b": b, "order": order, "aromatic": aromatic}
+
+
+def test_get_topology_counts_and_lengths(tmp_path):
+    from na_mpnn_tpu.data.ligands import get_topology
+    raw = parse_chem_comp_cif(_write(tmp_path, "PX4.cif", PO4_CIF))
+    topo = get_topology(raw)
+    assert topo["bonds"].shape == (5, 2)
+    # P at origin, O1 at (1.5,0,0): measured equilibrium length
+    assert np.isclose(topo["bondlen"][0], 1.5)
+    # angles: C(4,2)=6 at P + 1 at O4; dihedrals: O{1,2,3}-P-O4-O4B
+    assert topo["angles"].shape == (7, 3)
+    assert topo["dihedrals"].shape == (3, 4)
+
+
+def test_bondlen_falls_back_to_covalent_radii():
+    from na_mpnn_tpu.data.ligands import get_topology
+    raw = {"name": "XX", "atoms": [_atom("C1", "C", [np.nan] * 3),
+                                   _atom("C2", "C", [np.nan] * 3)],
+           "bonds": [_bond("C1", "C2", 2)]}
+    topo = get_topology(raw)
+    assert np.isclose(topo["bondlen"][0], 2 * 0.75 * 0.87)
+
+
+def test_chiral_quadruples_oriented_positive():
+    from na_mpnn_tpu.data.ligands import chiral_quadruples
+    # R-configured center with 3 heavy substituents at unit axes
+    raw = {"name": "CHI",
+           "atoms": [_atom("CA", "C", [0, 0, 0], stereo="R"),
+                     _atom("N", "N", [1, 0, 0]),
+                     _atom("O", "O", [0, 1, 0]),
+                     _atom("F", "F", [0, 0, 1]),
+                     _atom("H", "H", [-0.6, -0.6, -0.6])],
+           "bonds": [_bond("CA", "N"), _bond("CA", "O"), _bond("CA", "F"),
+                     _bond("CA", "H")]}
+    quads = chiral_quadruples(raw)
+    assert quads.shape == (1, 4) and quads[0, 0] == 0
+    xyz = np.asarray([a["xyz"] for a in raw["atoms"]], float)
+    v = xyz[quads[0, 1:]] - xyz[quads[0, 0]]
+    assert np.dot(v[0], np.cross(v[1], v[2])) > 0
+    # a mirrored molecule still yields positively-oriented quadruples
+    for a in raw["atoms"]:
+        a["xyz"][2] = -a["xyz"][2]
+    quads_m = chiral_quadruples(raw)
+    xyz = np.asarray([a["xyz"] for a in raw["atoms"]], float)
+    v = xyz[quads_m[0, 1:]] - xyz[quads_m[0, 0]]
+    assert np.dot(v[0], np.cross(v[1], v[2])) > 0
+
+
+def test_planar_quadruples_guanidinium():
+    from na_mpnn_tpu.data.ligands import planar_quadruples
+    raw = {"name": "GAI",
+           "atoms": [_atom("C", "C", [0, 0, 0], charge=1),
+                     _atom("N1", "N", [1.3, 0, 0]),
+                     _atom("N2", "N", [-0.65, 1.1, 0]),
+                     _atom("N3", "N", [-0.65, -1.1, 0])],
+           "bonds": [_bond("C", "N1", 2), _bond("C", "N2"), _bond("C", "N3")]}
+    quads = planar_quadruples(raw)
+    assert quads.shape == (1, 4) and quads[0, 0] == 0
+    assert set(quads[0, 1:]) == {1, 2, 3}
+
+
+def _benzene():
+    atoms, bonds = [], []
+    for i in range(6):
+        ang = np.pi * i / 3
+        atoms.append(_atom(f"C{i+1}", "C",
+                           [1.39 * np.cos(ang), 1.39 * np.sin(ang), 0.0]))
+    for i in range(6):
+        bonds.append(_bond(f"C{i+1}", f"C{(i+1) % 6 + 1}", 1, aromatic=True))
+    return {"name": "BNZ", "atoms": atoms, "bonds": bonds}
+
+
+def test_featurizer_1d_2d_benzene_and_px4(tmp_path):
+    from na_mpnn_tpu.data.ligands import MolFeaturizer
+    feat = MolFeaturizer()
+    raw = parse_chem_comp_cif(_write(tmp_path, "PX4.cif", PO4_CIF))
+    f1d = feat.features_1d(raw)
+    # P: Z=15, q=0, no H, sp2 (one double bond); O1: Z=8, q=-1, sp3
+    assert f1d[0].tolist() == [15, 0, 0, 2]
+    assert f1d[1].tolist() == [8, -1, 0, 3]
+
+    benz = _benzene()
+    f2d = feat.features_2d(benz, one_hot=False)
+    assert f2d[0, 1].tolist() == [1, 1, 1, 1]     # aromatic, in-ring, order, sep
+    assert f2d[0, 3, 3] == 3                      # para separation
+    assert f2d[0, 0, 3] == 0
+    oh = feat.features_2d(benz)
+    assert oh.shape == (6, 6, feat.num_features_2d())
+    assert oh.sum(-1).min() == 4                  # every pair fully encoded
+    # acyclic bond is not in-ring
+    chain = {"name": "ETH", "atoms": [_atom("C1", "C", [0, 0, 0]),
+                                      _atom("C2", "C", [1.5, 0, 0])],
+             "bonds": [_bond("C1", "C2")]}
+    assert feat.features_2d(chain, one_hot=False)[0, 1, 1] == 0
+
+
+def test_electron_configuration_aufbau():
+    from na_mpnn_tpu.data.ligands import electron_configuration
+    c = electron_configuration(6)
+    assert c.sum() == 6 and c[:6].tolist() == [1, 1, 1, 1, 1, 1]
+    assert electron_configuration(26).sum() == 26  # Fe fills 4s before 3d
+
+
+def test_embed_features_1d_dims():
+    from na_mpnn_tpu.data.ligands import MolFeaturizer
+    feat = MolFeaturizer()
+    benz = _benzene()
+    emb = feat.embed_features_1d(benz)
+    assert emb.shape == (6, feat.num_features_1d())
+    assert emb[0, :6].sum() == 6                  # carbon econf
+
+
+def test_reduce_hydrogens_methane():
+    from na_mpnn_tpu.data.ligands import MolFeaturizer
+    feat = MolFeaturizer()
+    atoms = [_atom("C", "C", [0, 0, 0])]
+    bonds = []
+    for i, d in enumerate(np.eye(3).tolist() + [[-1, -1, -1]]):
+        atoms.append(_atom(f"H{i+1}", "H", d))
+        bonds.append(_bond("C", f"H{i+1}"))
+    raw = {"name": "CH4", "atoms": atoms, "bonds": bonds}
+    f1d = feat.features_1d(raw)
+    assert f1d[0].tolist() == [6, 0, 4, 3]
+    red = feat.reduce_hydrogens(raw, f1d=f1d, f2d=feat.features_2d(raw))
+    assert red["xyz"].shape == (1, feat.maxhydr + 1, 3)
+    assert np.isfinite(red["xyz"][0, :5]).all()
+    assert np.isnan(red["xyz"][0, 5:]).all()
+    assert red["ijk"].shape == (5, 3)
+    assert red["ijk"][:, 2].tolist() == [0, 1, 2, 3, 4]   # sorted by full idx
+    assert red["observed"].all() and red["heavy"].tolist() == [True] + [False] * 4
+    assert red["f1d"].shape == (1, 4) and red["f2d"].shape == (1, 1, feat.num_features_2d())
+
+
+SDF_ETHANOLAMINE = """ethanolamine
+  test
+
+  4  3  0  0  0  0  0  0  0  0999 V2000
+    0.0000    0.0000    0.0000 C   0  0  0  0  0  0  0  0  0  0  0  0
+    1.5000    0.0000    0.0000 C   0  0  0  0  0  0  0  0  0  0  0  0
+    2.1000    1.3000    0.0000 N   0  0  0  0  0  0  0  0  0  0  0  0
+   -0.6000   -1.2000    0.0000 O   0  0  0  0  0  0  0  0  0  0  0  0
+  1  2  1  0
+  2  3  1  0
+  1  4  1  0
+M  CHG  1   3   1
+M  END
+$$$$
+"""
+
+
+def test_parse_sdf_and_featurize():
+    from na_mpnn_tpu.data.ligands import MolFeaturizer, get_topology, parse_sdf
+    mols = parse_sdf(SDF_ETHANOLAMINE)
+    assert len(mols) == 1
+    raw = mols[0]
+    assert raw["name"] == "ethanolamine"
+    assert len(raw["atoms"]) == 4 and len(raw["bonds"]) == 3
+    assert raw["atoms"][2]["charge"] == 1                 # M CHG applied
+    topo = get_topology(raw)
+    assert topo["bonds"].shape == (3, 2)
+    assert np.isclose(topo["bondlen"][0], 1.5)
+    f1d = MolFeaturizer().features_1d(raw)
+    assert f1d[:, 0].tolist() == [6, 6, 7, 8]
+
+
+def test_standard_residue_library():
+    """The packaged residue-library artifact (role of the reference's
+    ligands.json.gz, cifutils.py:130): all 28 standard residues load, with
+    the chemically-expected symmetry/stereo/leaving properties, and the
+    topology/featurizer entry points run on the entries."""
+    from na_mpnn_tpu.data.ligands import (MolFeaturizer, ResidueLibrary,
+                                          get_topology)
+
+    lib = ResidueLibrary.standard()
+    names = list("ACGU") + ["DA", "DC", "DG", "DT"] + [
+        "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
+        "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL"]
+    for n in names:
+        assert n in lib, n
+        assert lib.get(n) is not None, n
+
+    # leaving groups: OXT caps amino acids, OP3 caps nucleotides
+    assert lib.get("ALA").atoms["C"].leaving_group == ["OXT"]
+    assert lib.get("DA").atoms["P"].leaving_group == ["OP3"]
+
+    # ring-flip / methyl-swap automorphisms exist; quasi-symmetric
+    # carboxylates (different bond orders) do not permute — same asymmetry
+    # the reference's TODO leaves (obutils.py:14)
+    phe = np.asarray(lib.get("PHE").automorphisms)
+    assert phe.shape[0] == 2 and {"CD1", "CD2", "CE1", "CE2"} <= set(phe[0])
+    assert np.asarray(lib.get("VAL").automorphisms).shape[0] == 2
+    assert lib.get("ASP").automorphisms == []
+    assert lib.get("ARG").automorphisms == []
+
+    # stereo flags: L-amino acids are S at CA except CYS (R); GLY achiral
+    assert lib.get("ALA").atoms["CA"].stereo == "S"
+    assert lib.get("CYS").atoms["CA"].stereo == "R"
+    assert lib.get("GLY").chirals == []
+    assert lib.get("THR").atoms["CB"].stereo == "R"
+    # ribose C2' is a stereocenter; deoxyribose C2' is not
+    assert "C2'" in lib.get("A").chirals and "C2'" not in lib.get("DA").chirals
+
+    # topology + featurizer run on raw entries
+    raw = lib._raw["PRO"]
+    topo = get_topology(raw)
+    feat = MolFeaturizer()
+    f2d = feat.features_2d(raw, one_hot=False)
+    name_to_i = {a["atom_id"]: i for i, a in enumerate(raw["atoms"])}
+    assert f2d[name_to_i["N"], name_to_i["CD"], 1] == 1      # ring bond
+    assert f2d[name_to_i["C"], name_to_i["O"], 2] == 2       # double bond
+    assert (topo["bondlen"] > 1.0).all()                     # radii fallback
+    trp = lib._raw["TRP"]
+    f2d_trp = feat.features_2d(trp, one_hot=False)
+    nt = {a["atom_id"]: i for i, a in enumerate(trp["atoms"])}
+    assert f2d_trp[nt["CD2"], nt["CE2"], 0] == 1             # aromatic fused bond
+    f1d = feat.features_1d(lib._raw["HIS"])
+    hyb = {a["atom_id"]: h for a, h in zip(lib._raw["HIS"]["atoms"], f1d[:, 3])}
+    assert hyb["CG"] == 2 and hyb["CB"] == 3                 # sp2 ring, sp3 CB
