@@ -52,7 +52,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output_specificity", type=int, default=0)
     p.add_argument("--load_residues_with_missing_atoms", type=int, default=0)
     p.add_argument("--mode", type=str, default=None,
-                   help="design | specificity; sets checkpoint/batch/temperature defaults")
+                   help="design | specificity | score; sets checkpoint/batch/"
+                        "temperature defaults. score = teacher-forced "
+                        "per-position log-probs of the native sequence under "
+                        "random decode orders + unconditional probs, no "
+                        "sampling (uses models.score / unconditional_probs, "
+                        "role of reference model_utils.py:329-424)")
     p.add_argument("--pad_to_bucket", type=int, default=0,
                    help="Pad each structure to the next multiple of this "
                         "length so different-length inputs share one compiled "
@@ -67,23 +72,26 @@ def build_argparser() -> argparse.ArgumentParser:
 def apply_mode_defaults(args):
     """Mode defaults (reference inference/run.py:559-583)."""
     if args.checkpoint_na_mpnn is None:
-        if args.mode == "design":
+        if args.mode in ("design", "score"):
             args.checkpoint_na_mpnn = "./models/design_model/s_19137.pt"
         elif args.mode == "specificity":
             args.checkpoint_na_mpnn = "./models/specificity_model/s_70114.pt"
         else:
-            print("Choose mode from: design, specificity")
+            print("Choose mode from: design, specificity, score")
             sys.exit(1)
     if args.batch_size is None:
-        args.batch_size = {"design": 1, "specificity": 30}.get(args.mode)
+        args.batch_size = {"design": 1, "specificity": 30, "score": 10}.get(args.mode)
         if args.batch_size is None:
-            print("Choose mode from: design, specificity")
+            print("Choose mode from: design, specificity, score")
             sys.exit(1)
     if args.temperature is None:
-        args.temperature = {"design": 0.1, "specificity": 0.6}.get(args.mode)
+        args.temperature = {"design": 0.1, "specificity": 0.6,
+                            "score": 0.1}.get(args.mode)
         if args.temperature is None:
-            print("Choose mode from: design, specificity")
+            print("Choose mode from: design, specificity, score")
             sys.exit(1)
+    if args.mode == "score":
+        args.save_stats = 1
     return args
 
 
@@ -219,6 +227,70 @@ def main(args):
         mask_np = np.asarray(batch["mask"][0], np.float32)  # [L_run]
         chain_mask_np = mask_np * np.asarray(batch["chain_mask"][0], np.float32)
 
+        if args.mode == "score":
+            # Teacher-forced scoring: batch_size independent random decode
+            # orders per batch iteration (one parallel-decoder pass each — no
+            # autoregressive scan), plus one unconditional pass.
+            from ..models.mpnn import score as score_fn
+            from ..models.mpnn import unconditional_probs
+
+            B0 = args.batch_size
+            tiled = {k: jnp.repeat(jnp.asarray(v), B0, axis=0)
+                     for k, v in batch.items()}
+            jit_score = jax.jit(lambda p, b, k: score_fn(p, cfg, b, key=k))
+            lp_list, ord_list = [], []
+            for _ in range(args.number_of_batches):
+                key, sub = jax.random.split(key)
+                out = jit_score(params, tiled, sub)
+                lp_list.append(np.asarray(out["log_probs"], np.float32))
+                ord_list.append(np.asarray(out["decoding_order"]))
+            log_probs_stack = np.concatenate(lp_list, 0)      # [N,L_run,nl]
+            order_stack = np.concatenate(ord_list, 0)
+            uncond = np.asarray(
+                jax.jit(lambda p, b: unconditional_probs(p, cfg, b))(
+                    params, batch)["log_probs"], np.float32)[0]
+
+            rec_mask = jnp.asarray(chain_mask_np)[None]
+            N_total = log_probs_stack.shape[0]
+            loss, loss_pr = get_score(
+                jnp.repeat(batch["S"][:1], N_total, 0),
+                jnp.asarray(log_probs_stack),
+                jnp.repeat(rec_mask, N_total, 0), num_letters)
+            S_argmax = log_probs_stack.argmax(-1)
+            rec_argmax = np.asarray(get_seq_rec(
+                batch["S"][:1], jnp.asarray(S_argmax), rec_mask))
+
+            if L_run > L:
+                log_probs_stack = log_probs_stack[:, :L]
+                uncond = uncond[:L]
+                loss_pr = np.asarray(loss_pr)[:, :L]
+                order_stack = np.stack(
+                    [row[row < L] for row in order_stack.reshape(-1, L_run)]
+                ).reshape(order_stack.shape[:-1] + (L,))
+
+            out_dict = {
+                "log_probs": log_probs_stack,
+                "mean_probs": np.mean(np.exp(log_probs_stack.astype(np.float64)), 0),
+                "unconditional_log_probs": uncond,
+                "decoding_order": order_stack,
+                "native_sequence": np.asarray(batch["S"][0])[:L],
+                "loss": np.asarray(loss),
+                "loss_per_residue": np.asarray(loss_pr),
+                "recovery_argmax": rec_argmax,
+                "mask": np.asarray(batch["mask"][0])[:L],
+                "chain_mask": np.asarray(batch["chain_mask"][0])[:L],
+                "seed": seed,
+            }
+            stats_path = base_folder + "stats/" + name
+            if args.stats_format == "pt":
+                import torch
+                torch.save({k: (torch.from_numpy(np.asarray(v))
+                                if isinstance(v, np.ndarray) else v)
+                            for k, v in out_dict.items()}, stats_path + ".pt")
+            else:
+                np.savez(stats_path + ".npz", **out_dict)
+            continue
+
         S_list, log_probs_list, probs_list, order_list = [], [], [], []
         loss_list, loss_pr_list, loss_XY_list = [], [], []
         for _ in range(args.number_of_batches):
@@ -242,6 +314,10 @@ def main(args):
             rec_mask = batch["mask"] * batch["chain_mask"]
             loss, loss_per_residue = get_score(out["S"], out["log_probs"],
                                                rec_mask.astype(jnp.float32), num_letters)
+            # Deliberate mirror of the reference's vestigial duplicate score
+            # (inference/run.py:370-372 computes loss_XY from the identical
+            # inputs); kept so saved stats files are field-for-field
+            # comparable.
             loss_XY, _ = get_score(out["S"], out["log_probs"],
                                    rec_mask.astype(jnp.float32), num_letters)
             S_list.append(np.asarray(out["S"]))

@@ -82,6 +82,33 @@ def score_design_checkpoint(checkpoint_path: str, structure_paths: List[str],
             "n_designs": len(recs)}
 
 
+def score_teacher_forced_checkpoint(checkpoint_path: str,
+                                    structure_paths: List[str],
+                                    num_samples: int, seed: int,
+                                    workdir: str,
+                                    pad_to_bucket: int = 0) -> Dict:
+    """Teacher-forced argmax recovery over random decode orders — one
+    parallel-decoder pass per order instead of a full autoregressive decode,
+    making this the cheap sweep metric (models.score; role of reference
+    model_utils.py:366-424)."""
+    from ..eval.harness import run_na_mpnn_score
+
+    recs, losses = [], []
+    for sp in structure_paths:
+        out_dir = os.path.join(
+            workdir, os.path.splitext(os.path.basename(sp))[0])
+        stats = run_na_mpnn_score(
+            sp, output_directory=out_dir, batch_size=num_samples,
+            number_of_batches=1, na_mpnn_model_path=checkpoint_path,
+            seed=seed, pad_to_bucket=pad_to_bucket)
+        recs.extend(np.asarray(stats["recovery_argmax"]).ravel().tolist())
+        losses.extend(np.asarray(stats["loss"]).ravel().tolist())
+    return {"metric": "teacher_forced_recovery",
+            "value": float(np.mean(recs)) if recs else float("nan"),
+            "mean_loss": float(np.mean(losses)) if losses else float("nan"),
+            "n_orders": len(recs)}
+
+
 def score_specificity_checkpoint(checkpoint_path: str, rows,
                                  num_samples: int, temperature: float,
                                  seed: int, workdir: str,
@@ -152,6 +179,10 @@ def run_sweep(checkpoint_dir: str, structures_csv: str, mode: str,
             res = score_specificity_checkpoint(
                 ck, rows, num_samples, temperature, seed, ck_work,
                 pad_to_bucket=pad_to_bucket)
+        elif mode == "score":
+            res = score_teacher_forced_checkpoint(
+                ck, list(rows["structure_path"]), num_samples, seed, ck_work,
+                pad_to_bucket=pad_to_bucket)
         else:
             raise ValueError(f"invalid mode: {mode}")
         entry = {"checkpoint": ck, **res}
@@ -174,7 +205,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--structures_csv", required=True)
-    p.add_argument("--mode", choices=["design", "specificity"], required=True)
+    p.add_argument("--mode", choices=["design", "specificity", "score"], required=True)
     p.add_argument("--split", help="released split JSON to filter the CSV by")
     p.add_argument("--num_samples", type=int, default=10)
     p.add_argument("--temperature", type=float, default=None)

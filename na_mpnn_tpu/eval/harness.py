@@ -203,6 +203,41 @@ def run_na_mpnn_specificity(structure_path, output_directory, batch_size=30,
     return {k: data[k] for k in data.files}
 
 
+def run_na_mpnn_score(structure_path, output_directory, batch_size=10,
+                      number_of_batches=1, na_mpnn_model_path=None, seed=0,
+                      design_na_only=1, pad_to_bucket=0) -> Dict:
+    """Teacher-forced scoring of the native sequence via the CLI's score
+    mode (models.score + unconditional_probs; no autoregressive decode) —
+    the cheap recovery/likelihood metric for checkpoint sweeps. Returns the
+    stats dict (log_probs [N,L,nl], mean_probs, unconditional_log_probs,
+    loss, loss_per_residue, recovery_argmax, ...)."""
+    from ..cli.run import apply_mode_defaults, build_argparser, main as cli_main
+
+    if na_mpnn_model_path is None:
+        raise ValueError("na_mpnn_model_path is required")
+    structure_name, _ = _structure_name(structure_path)
+    args = build_argparser().parse_args([
+        "--mode", "score",
+        "--checkpoint_na_mpnn", na_mpnn_model_path,
+        "--pdb_path", structure_path,
+        "--out_folder", output_directory,
+        "--batch_size", str(batch_size),
+        "--number_of_batches", str(number_of_batches),
+        "--design_na_only", str(design_na_only),
+        "--output_pdbs", "0",
+        "--output_sequences", "0",
+        "--stats_format", "npz",
+        "--seed", str(seed),
+        "--pad_to_bucket", str(pad_to_bucket),
+    ])
+    args = apply_mode_defaults(args)
+    cli_main(args)
+
+    npz_path = os.path.join(output_directory, "stats", f"{structure_name}.npz")
+    data = np.load(npz_path, allow_pickle=True)
+    return {k: data[k] for k in data.files}
+
+
 # ---------------------------------------------------------------------------
 # Pipelines
 # ---------------------------------------------------------------------------

@@ -219,3 +219,45 @@ def test_pad_to_bucket_score_parity_and_cli(random_ckpt, tmp_path):
     for e in entries[1:]:
         seq = e.strip().split("\n")[-1]
         assert len(seq) == L and set(seq) <= set("bdhu"), seq
+
+
+def test_score_mode_4oqu(random_ckpt, tmp_path):
+    """--mode score: teacher-forced log-probs + unconditional probs, no
+    sampling (models.score / unconditional_probs wired to the CLI)."""
+    from na_mpnn_tpu.cli.run import apply_mode_defaults, build_argparser, main
+
+    out = str(tmp_path / "score")
+    args = build_argparser().parse_args([
+        "--mode", "score",
+        "--checkpoint_na_mpnn", random_ckpt,
+        "--pdb_path", f"{EXAMPLES}/4oqu.pdb",
+        "--out_folder", out,
+        "--seed", "3",
+        "--batch_size", "2",
+        "--number_of_batches", "2",
+        "--stats_format", "npz",
+        "--pad_to_bucket", "64",
+    ])
+    args = apply_mode_defaults(args)
+    main(args)
+
+    assert not os.path.exists(out + "/seqs/4oqu.fa")      # no sampling outputs
+    stats = np.load(out + "/stats/4oqu.npz")
+    L = 97
+    assert stats["log_probs"].shape == (4, L, 33)
+    assert stats["unconditional_log_probs"].shape == (L, 33)
+    assert stats["mean_probs"].shape == (L, 33)
+    assert np.allclose(np.exp(stats["log_probs"]).sum(-1), 1.0, atol=1e-3)
+    assert stats["loss"].shape == (4,)
+    assert np.isfinite(stats["loss"]).all()
+    assert stats["recovery_argmax"].shape == (4,)
+    assert (0 <= stats["recovery_argmax"]).all() and (stats["recovery_argmax"] <= 1).all()
+    # decode orders differ across draws but cover all positions
+    assert sorted(stats["decoding_order"][0].tolist()) == list(range(L))
+    # log-prob rows are order-dependent only through masking; teacher-forced
+    # scores of the SAME order batch must reproduce with the same seed
+    out2 = str(tmp_path / "score2")
+    args.out_folder = out2
+    main(args)
+    s2 = np.load(out2 + "/stats/4oqu.npz")
+    np.testing.assert_array_equal(stats["log_probs"], s2["log_probs"])
