@@ -63,23 +63,25 @@ def plot_training_metrics(log_path: str, metrics=("loss", "accuracy"),
     return fig
 
 
-def sequence_logo(ppm: np.ndarray, alphabet=("A", "C", "G", "T"),
-                  out_path: Optional[str] = None, title: str = ""):
-    """Information-content-scaled sequence logo from an [L,4] PPM (role of
-    the reference's seq-logo notebook cells)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+LOGO_COLORS = {"A": "#109648", "C": "#255C99", "G": "#F7B32B", "T": "#D62839",
+               "U": "#D62839"}
 
+
+def _draw_logo(ax, ppm, alphabet, true_sequence=None, logo_type="information"):
+    """Render one logo onto `ax`: information-content-scaled (or raw
+    probability) letter stacks, small-on-bottom, optional true-sequence
+    x-tick labels (the reference's plot_seq_logo rendering contract,
+    visualization/plot_seq_logos.ipynb)."""
     ppm = np.asarray(ppm, np.float64)
     eps = 1e-10
     p = (ppm + eps) / (ppm + eps).sum(-1, keepdims=True)
-    ic = np.log2(len(alphabet)) + np.sum(p * np.log2(p), axis=-1)  # bits
-    heights = p * ic[:, None]
-
-    colors = {"A": "#109648", "C": "#255C99", "G": "#F7B32B", "T": "#D62839",
-              "U": "#D62839"}
-    fig, ax = plt.subplots(figsize=(max(4, 0.45 * len(ppm)), 2.5))
+    if logo_type == "information":
+        ic = np.log2(len(alphabet)) + np.sum(p * np.log2(p), axis=-1)  # bits
+        heights = p * ic[:, None]
+        y_max = np.log2(len(alphabet))
+    else:
+        heights = p
+        y_max = 1.0
     for pos in range(len(ppm)):
         order = np.argsort(heights[pos])
         y = 0.0
@@ -87,16 +89,150 @@ def sequence_logo(ppm: np.ndarray, alphabet=("A", "C", "G", "T"),
             h = heights[pos, k]
             if h <= 0:
                 continue
-            ax.text(pos + 0.5, y + h / 2, alphabet[k], ha="center", va="center",
-                    fontsize=14, fontweight="bold",
-                    color=colors.get(alphabet[k], "black"),
+            ax.text(pos + 0.5, y + h / 2, alphabet[k], ha="center",
+                    va="center", fontsize=14, fontweight="bold",
+                    color=LOGO_COLORS.get(alphabet[k], "black"),
                     transform=ax.transData)
             y += h
     ax.set_xlim(0, len(ppm))
-    ax.set_ylim(0, np.log2(len(alphabet)))
+    ax.set_ylim(0, y_max)
+    if true_sequence is not None:
+        ax.set_xticks(np.arange(len(ppm)) + 0.5)
+        ax.set_xticklabels([alphabet[int(t)] if 0 <= int(t) < len(alphabet)
+                            else "" for t in true_sequence], fontsize=8)
+    ax.set_ylabel("bits" if logo_type == "information" else "p")
+
+
+def sequence_logo(ppm: np.ndarray, alphabet=("A", "C", "G", "T"),
+                  out_path: Optional[str] = None, title: str = "",
+                  true_sequence=None, logo_type: str = "information"):
+    """Information-content-scaled sequence logo from an [L,4] PPM (role of
+    the reference's seq-logo notebook cells)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(max(4, 0.45 * len(ppm)), 2.5))
+    _draw_logo(ax, ppm, alphabet, true_sequence=true_sequence,
+               logo_type=logo_type)
     ax.set_xlabel("position")
-    ax.set_ylabel("bits")
     ax.set_title(title)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+    return fig
+
+
+def load_predicted_ppm_and_true_sequence(score_json_path: str,
+                                         num_chains_to_plot: int = 1):
+    """From a specificity score JSON (harness.score_specificity_prediction
+    output), extract aligned [P,4] experimental and predicted DNA PPMs plus
+    the true sequence over the first `num_chains_to_plot` DNA chains — the
+    reference's load_predicted_pwm_and_true_sequence
+    (visualization/plot_seq_logos.ipynb cell 4)."""
+    from .. import constants
+
+    score = json.load(open(score_json_path))
+    subject = json.load(open(score["subject_path"]))
+
+    aligned_ppm = np.asarray(score["aligned_ppm"], np.float64)
+    ppm_mask = np.asarray(score["ppm_mask"], np.int32)
+    pred_ppm = np.asarray(subject["predicted_ppm_na_mpnn_format"], np.float64)
+    mask = np.asarray(subject["mask"], np.int32)
+    dna_mask = np.asarray(subject["dna_mask"], np.int32)
+    true_seq = np.asarray(subject["true_sequence_na_mpnn_format"], np.int64)
+    chain_labels = np.asarray(subject["chain_labels"], np.int64)
+
+    pos = (ppm_mask == 1) & (mask == 1) & (dna_mask == 1)
+    dna_chains = list(dict.fromkeys(chain_labels[pos].tolist()))
+    keep_chains = set(dna_chains[:num_chains_to_plot])
+    pos = pos & np.isin(chain_labels, list(keep_chains))
+
+    dna_cols = [constants.restype_to_int_table(True)[r]
+                for r in ("DA", "DC", "DG", "DT")]
+    ref4 = aligned_ppm[pos][:, dna_cols]
+    pred4 = pred_ppm[pos][:, dna_cols]
+    pred4 = pred4 / np.maximum(pred4.sum(-1, keepdims=True), 1e-12)
+    token0 = min(dna_cols)
+    return ref4, pred4, true_seq[pos] - token0
+
+
+def plot_seq_logo_comparison(score_json_path: str,
+                             num_chains_to_plot: int = 1,
+                             out_path: Optional[str] = None,
+                             titles=("experimental", "predicted")):
+    """Predicted-vs-experimental PPM logo comparison figure: two stacked
+    logos over the same DNA positions, true sequence as x-tick labels
+    (role of the reference plot_seq_logo_comparison,
+    visualization/plot_seq_logos.ipynb cells 12-21)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ref4, pred4, true_seq = load_predicted_ppm_and_true_sequence(
+        score_json_path, num_chains_to_plot)
+    alphabet = ("A", "C", "G", "T")
+    fig, axes = plt.subplots(2, 1, figsize=(max(4, 0.45 * len(ref4)), 4.6),
+                             sharex=True)
+    for ax, ppm, title in zip(axes, (ref4, pred4), titles):
+        _draw_logo(ax, ppm, alphabet, true_sequence=true_seq)
+        ax.set_title(title, fontsize=9)
+    axes[-1].set_xlabel("position (true base)")
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+    return fig
+
+
+def running_mean(x, N: int):
+    """Cumulative-sum running mean (the reference's smoothing helper,
+    visualization/plot_training_metrics.ipynb cell 4)."""
+    x = np.asarray(x, np.float64)
+    if N <= 1 or len(x) < N:
+        return x
+    c = np.cumsum(np.insert(x, 0, 0.0))
+    return (c[N:] - c[:-N]) / float(N)
+
+
+# Per-polymer palette + linestyles of the reference training-curve figures
+# (visualization/plot_training_metrics.ipynb cell 2).
+POLYMER_PALETTE = {"protein": "#D3D3D3", "dna": "#FF7F7F", "rna": "#7F7FFF"}
+SPLIT_LINESTYLE = {"train": "solid", "valid": "dashed"}
+
+
+def plot_per_polymer_training_curves(log_path: str,
+                                     metrics=("accuracy", "loss"),
+                                     polymers=("protein", "dna", "rna"),
+                                     splits=("train", "valid"),
+                                     smooth: int = 1,
+                                     out_path: Optional[str] = None):
+    """Per-residue-type training-curve panels: one panel per metric, one
+    line per (polymer, split) with the reference palette — protein grey,
+    DNA red, RNA blue; train solid, valid dashed (role of the reference
+    plot_results calls, visualization/plot_training_metrics.ipynb cells
+    8-9). `smooth` applies an N-point running mean."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    df = parse_training_log(log_path)
+    fig, axes = plt.subplots(1, len(metrics), figsize=(5.2 * len(metrics), 4))
+    if len(metrics) == 1:
+        axes = [axes]
+    for ax, metric in zip(axes, metrics):
+        for polymer in polymers:
+            for split in splits:
+                col = f"{split}_{polymer}_{metric}"
+                if col not in df:
+                    continue
+                y = running_mean(df[col].to_numpy(), smooth)
+                x = df["step"].to_numpy()[len(df) - len(y):]
+                ax.plot(x, y, label=f"{polymer.upper()} ({split})",
+                        color=POLYMER_PALETTE.get(polymer),
+                        linestyle=SPLIT_LINESTYLE.get(split, "solid"))
+        ax.set_xlabel("step")
+        ax.set_ylabel(metric)
+        ax.legend(fontsize=7, frameon=False)
     fig.tight_layout()
     if out_path:
         fig.savefig(out_path, dpi=120)

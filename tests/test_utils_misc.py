@@ -173,3 +173,64 @@ def test_standardize_na_sequence():
     from na_mpnn_tpu.data.curation import standardize_na_sequence
     assert standardize_na_sequence("ACGU") == "ACGT"
     assert standardize_na_sequence("ACGTN?") == "ACGTXX"
+
+
+def test_per_polymer_training_curves(tmp_path):
+    from na_mpnn_tpu.eval.visualize import (plot_per_polymer_training_curves,
+                                            running_mean)
+    lines = []
+    for e in range(6):
+        step = 10 * (e + 1)
+        parts = [f"epoch: {e+1}, step: {step}, train_time: 1.0, valid_time: 0.5"]
+        for split in ("train", "valid"):
+            for p in ("protein", "dna", "rna"):
+                parts.append(f"{split}_{p}_accuracy: {0.1 + 0.01 * e:.3f}")
+                parts.append(f"{split}_{p}_loss: {3.0 - 0.1 * e:.3f}")
+        lines.append(", ".join(parts))
+    log = tmp_path / "log.txt"
+    log.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "curves.png"
+    fig = plot_per_polymer_training_curves(str(log), smooth=2,
+                                           out_path=str(out))
+    assert out.exists()
+    # both panels carry 6 series (3 polymers x train/valid)
+    assert [len(ax.get_lines()) for ax in fig.axes] == [6, 6]
+    np.testing.assert_allclose(running_mean([1, 2, 3, 4], 2), [1.5, 2.5, 3.5])
+
+
+def test_seq_logo_comparison(tmp_path):
+    from na_mpnn_tpu import constants
+    from na_mpnn_tpu.eval.visualize import (
+        load_predicted_ppm_and_true_sequence, plot_seq_logo_comparison)
+
+    rng = np.random.RandomState(0)
+    L, nl = 8, constants.NUM_LETTERS
+    t2i = constants.restype_to_int_table(True)
+    dna_cols = [t2i[r] for r in ("DA", "DC", "DG", "DT")]
+
+    aligned = np.zeros((L, nl)); aligned[:, dna_cols] = rng.dirichlet(np.ones(4), L)
+    pred = np.zeros((L, nl)); pred[:, dna_cols] = rng.dirichlet(np.ones(4), L)
+    subject = {
+        "predicted_ppm_na_mpnn_format": pred.tolist(),
+        "true_sequence_na_mpnn_format": (t2i["DA"] + rng.randint(0, 4, L)).tolist(),
+        "mask": [1] * L, "dna_mask": [1] * L,
+        "chain_labels": [0] * (L // 2) + [1] * (L - L // 2),
+    }
+    subj_path = tmp_path / "subject.json"
+    json.dump(subject, open(subj_path, "w"))
+    score = {"aligned_ppm": aligned.tolist(), "ppm_mask": [1] * L,
+             "subject_path": str(subj_path)}
+    score_path = tmp_path / "score.json"
+    json.dump(score, open(score_path, "w"))
+
+    ref4, pred4, true_seq = load_predicted_ppm_and_true_sequence(
+        str(score_path), num_chains_to_plot=1)
+    assert ref4.shape == (L // 2, 4) and pred4.shape == (L // 2, 4)
+    assert ((0 <= true_seq) & (true_seq < 4)).all()
+    np.testing.assert_allclose(pred4.sum(-1), 1.0)
+
+    out = tmp_path / "logo_cmp.png"
+    fig = plot_seq_logo_comparison(str(score_path), num_chains_to_plot=2,
+                                   out_path=str(out))
+    assert out.exists() and len(fig.axes) == 2
