@@ -47,6 +47,15 @@ class ModelConfig:
     # (~4x fewer FLOPs on mixed batches, exact semantics); "dense" runs the
     # full 18x18 pair grid. Pallas paths only.
     rbf_mode: str = "classed"
+    # Graph-parallel featurization memory caps for very long graphs
+    # (ribosome scale, L >~ 5e4). 0 = one-shot (whole key set / all rows).
+    # gp_knn_key_chunk streams the kNN key set in chunks of this size
+    # through a running top-k merge (per-shard memory O(Ls*chunk) instead
+    # of O(Ls*L)); gp_rbf_row_chunk maps the non-Pallas RBF fallback over
+    # query-row chunks so the [rows, K, A^2*num_rbf] block never
+    # materializes whole.
+    gp_knn_key_chunk: int = 0
+    gp_rbf_row_chunk: int = 0
 
     @property
     def atom_dict(self):

@@ -54,18 +54,78 @@ def _ag(x, axis=1):
     return jax.lax.all_gather(x, GRAPH_AXIS, axis=axis, tiled=True)
 
 
-def _knn_local_rows(X_ref_local, X_ref_global, mask_local, mask_global, k):
+def _knn_local_rows(X_ref_local, X_ref_global, mask_local, mask_global, k,
+                    key_chunk: int = 0):
     """Masked kNN for the shard's query rows against all global keys —
-    the row-wise restriction of features.knn_graph (identical semantics)."""
+    the row-wise restriction of features.knn_graph (identical semantics).
+
+    With ``key_chunk > 0`` the [B, Ls, L] distance matrix is never
+    materialized: keys are streamed in chunks of that size through a
+    running top-k merge (two fori_loop passes — one for the row max that
+    anchors the masked-tie contract, one for the merge), so per-shard
+    memory is O(Ls * key_chunk). Selection is identical to the one-shot
+    path: concat order keeps earlier-chunk candidates ahead of later ones,
+    so top_k's stable lowest-index tie-breaking is preserved globally."""
+    Lg = X_ref_global.shape[1]
+    k_eff = min(k, Lg)
     mask_q = mask_local.astype(X_ref_local.dtype)
-    mask_k = mask_global.astype(X_ref_local.dtype)
-    m2 = mask_q[:, :, None] * mask_k[:, None, :]
-    dX = X_ref_local[:, :, None, :] - X_ref_global[:, None, :, :]
-    D = m2 * jnp.sqrt(jnp.sum(dX * dX, axis=-1) + 1e-6)
-    D_max = jnp.max(D, axis=-1, keepdims=True)
-    D_adjust = D + (1.0 - m2) * D_max
-    neg, E_idx = jax.lax.top_k(-D_adjust, min(k, X_ref_global.shape[1]))
-    return -neg, E_idx
+    if key_chunk <= 0 or key_chunk >= Lg:
+        mask_k = mask_global.astype(X_ref_local.dtype)
+        m2 = mask_q[:, :, None] * mask_k[:, None, :]
+        dX = X_ref_local[:, :, None, :] - X_ref_global[:, None, :, :]
+        D = m2 * jnp.sqrt(jnp.sum(dX * dX, axis=-1) + 1e-6)
+        D_max = jnp.max(D, axis=-1, keepdims=True)
+        D_adjust = D + (1.0 - m2) * D_max
+        neg, E_idx = jax.lax.top_k(-D_adjust, k_eff)
+        return -neg, E_idx
+
+    C = int(key_chunk)
+    nchunk = -(-Lg // C)
+    pad = nchunk * C - Lg
+    Xg = jnp.pad(X_ref_global, ((0, 0), (0, pad), (0, 0)))
+    mg = jnp.pad(mask_global.astype(X_ref_local.dtype), ((0, 0), (0, pad)))
+
+    def chunk_D(c):
+        Xc = jax.lax.dynamic_slice_in_dim(Xg, c * C, C, axis=1)
+        mc = jax.lax.dynamic_slice_in_dim(mg, c * C, C, axis=1)
+        m2 = mask_q[:, :, None] * mc[:, None, :]
+        dX = X_ref_local[:, :, None, :] - Xc[:, None, :, :]
+        return m2 * jnp.sqrt(jnp.sum(dX * dX, axis=-1) + 1e-6), m2
+
+    # Pass 1: the per-row max of masked distances (the tie value every
+    # masked/padded key takes, exactly as in the one-shot path).
+    def max_body(c, best):
+        D, _ = chunk_D(c)
+        return jnp.maximum(best, jnp.max(D, axis=-1))
+
+    D_max = jax.lax.fori_loop(
+        0, nchunk, max_body,
+        jnp.zeros(mask_q.shape, X_ref_local.dtype))[..., None]
+
+    # Pass 2: streamed top-k merge on -D_adjust.
+    best_neg0 = jnp.full(mask_q.shape + (k_eff,), -jnp.inf,
+                         X_ref_local.dtype)
+    best_idx0 = jnp.zeros(mask_q.shape + (k_eff,), jnp.int32)
+
+    def merge_body(c, carry):
+        best_neg, best_idx = carry
+        D, m2 = chunk_D(c)
+        neg = -(D + (1.0 - m2) * D_max)
+        cols = (c * C + jnp.arange(C, dtype=jnp.int32))
+        cols = jnp.broadcast_to(cols, neg.shape)
+        cand_neg = jnp.concatenate([best_neg, neg], axis=-1)
+        cand_idx = jnp.concatenate([best_idx, cols], axis=-1)
+        new_neg, pos = jax.lax.top_k(cand_neg, k_eff)
+        new_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+        return new_neg, new_idx
+
+    best_neg, best_idx = jax.lax.fori_loop(0, nchunk, merge_body,
+                                           (best_neg0, best_idx0))
+    # Padded tail columns (index >= Lg) can only appear when a row has
+    # fewer than k valid keys; clamp them to a real index like the
+    # mode="clip" gathers downstream expect.
+    best_idx = jnp.minimum(best_idx, Lg - 1)
+    return -best_neg, best_idx
 
 
 def _gather_global(nodes_global, E_idx):
@@ -130,7 +190,8 @@ def _features_local(p, cfg: ModelConfig, lb, key=None):
                                        interpret=interpret_mode())
     else:
         _, E_idx = _knn_local_rows(X_ref, X_ref_g, lb["mask"], mask_g,
-                                   cfg.k_neighbors)
+                                   cfg.k_neighbors,
+                                   key_chunk=cfg.gp_knn_key_chunk)
 
     X_aug_g = _ag(X_aug)
     X_m_aug_g = _ag(X_m_aug)
@@ -172,13 +233,38 @@ def _features_local(p, cfg: ModelConfig, lb, key=None):
                               permute_rbf_weight(W[n_pos:]).astype(jnp.float32),
                               cdt, interpret_mode())[:E_flat].reshape(B, Ls, K, -1)
     else:
-        Xg = _gather_global(X_aug_g.reshape(B, -1, A * 3), E_idx).reshape(B, Ls, K, A, 3)
-        d = X_aug[:, :, None, :, None, :] - Xg[:, :, :, None, :, :]
-        D = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-6)
-        RBF = rbf_embed(D, cfg.num_rbf)
-        Mg = _gather_global(X_m_aug_g, E_idx)
-        RBF = RBF * X_m_aug[:, :, None, :, None, None] * Mg[:, :, :, None, :, None]
-        RBF_all = RBF.reshape(B, Ls, K, A * A * cfg.num_rbf)
+        def _rbf_rows(Xa_rows, Xm_rows, E_idx_rows):
+            """E_rbf for a block of query rows: gather neighbors, RBF-embed
+            the A x A distance grid, project through W — the [rows, K,
+            A^2*num_rbf] block lives only within this call."""
+            rows = Xa_rows.shape[1]
+            Xg = _gather_global(X_aug_g.reshape(B, -1, A * 3),
+                                E_idx_rows).reshape(B, rows, K, A, 3)
+            d = Xa_rows[:, :, None, :, None, :] - Xg[:, :, :, None, :, :]
+            D = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-6)
+            RBF = rbf_embed(D, cfg.num_rbf)
+            Mg = _gather_global(X_m_aug_g, E_idx_rows)
+            RBF = RBF * Xm_rows[:, :, None, :, None, None] \
+                * Mg[:, :, :, None, :, None]
+            return jnp.dot(RBF.reshape(B, rows, K, A * A * cfg.num_rbf),
+                           W[n_pos:])
+
+        Cr = cfg.gp_rbf_row_chunk
+        if Cr <= 0 or Cr >= Ls:
+            E_rbf = _rbf_rows(X_aug, X_m_aug, E_idx)
+        else:
+            pad_r = (-Ls) % Cr
+            nch = (Ls + pad_r) // Cr
+
+            def pad_rows(x):
+                return jnp.pad(x, ((0, 0), (0, pad_r)) + ((0, 0),) * (x.ndim - 2))
+
+            xa = pad_rows(X_aug).reshape(B, nch, Cr, A, 3).swapaxes(0, 1)
+            xm = pad_rows(X_m_aug).reshape(B, nch, Cr, A).swapaxes(0, 1)
+            ei = pad_rows(E_idx).reshape(B, nch, Cr, K).swapaxes(0, 1)
+            E_rbf = jax.lax.map(
+                lambda t: _rbf_rows(*t), (xa, xm, ei)
+            ).swapaxes(0, 1).reshape(B, Ls + pad_r, K, -1)[:, :Ls]
 
     R_idx_g = _ag(lb["R_idx"].astype(jnp.int32))
     cl_g = _ag(lb["chain_labels"].astype(jnp.int32))
@@ -189,8 +275,6 @@ def _features_local(p, cfg: ModelConfig, lb, key=None):
     E_positional = positional_embed(p["positional"], offset, E_chains,
                                     cfg.max_relative_feature)
 
-    if not use_pallas:
-        E_rbf = jnp.dot(RBF_all, W[n_pos:])
     E = jnp.dot(E_positional, W[:n_pos]) + E_rbf
     E = layer_norm(p["norm_edges"], E)
 

@@ -24,5 +24,10 @@ jax.config.update("jax_platforms", "cpu")
 REFERENCE_DIR = "/root/reference"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale test (minutes on the CPU mesh)")
+
+
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)

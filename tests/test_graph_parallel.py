@@ -264,3 +264,78 @@ def test_sample_graph_parallel_bias_and_pair_bias():
     np.testing.assert_allclose(np.asarray(gp["sampling_probs"]),
                                np.asarray(ref["sampling_probs"]), atol=2e-4)
     np.testing.assert_array_equal(np.asarray(gp["S"]), np.asarray(ref["S"]))
+
+
+def test_chunked_knn_matches_one_shot():
+    """Streamed top-k merge (_knn_local_rows with key_chunk) is selection-
+    identical to the one-shot [Ls, L] path, including masked-tie handling
+    and a chunk size that does not divide L."""
+    from na_mpnn_tpu.parallel.graph_parallel import _knn_local_rows
+
+    rng = np.random.RandomState(3)
+    B, Ls, L, k = 2, 16, 70, 8
+    Xq = jnp.asarray(rng.randn(B, Ls, 3).astype(np.float32))
+    Xg = jnp.asarray(rng.randn(B, L, 3).astype(np.float32))
+    mq = jnp.asarray((rng.rand(B, Ls) > 0.1).astype(np.float32))
+    mg = jnp.asarray((rng.rand(B, L) > 0.1).astype(np.float32))
+
+    D0, I0 = _knn_local_rows(Xq, Xg, mq, mg, k)
+    for chunk in (16, 32, 64, 128):
+        D1, I1 = _knn_local_rows(Xq, Xg, mq, mg, k, key_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(I1), np.asarray(I0))
+        np.testing.assert_allclose(np.asarray(D1), np.asarray(D0), rtol=1e-6)
+
+
+def test_graph_parallel_chunked_matches_one_shot():
+    """Forward with gp_knn_key_chunk + gp_rbf_row_chunk on equals the
+    unchunked graph-parallel forward (and hence the single-device oracle)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(n_devices=4, graph_axis=4)
+    B, L = 1, 64
+    batches = [make_synthetic_structure(L=L, seed=31, n_protein=32, n_dna=16)]
+    batch = {k: jnp.asarray(batches[0][k]) for k in batches[0]}
+    rng = np.random.RandomState(0)
+    order = np.stack([rng.permutation(L) for _ in range(B)]).astype(np.int32)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    cfg_chunked = ModelConfig(dropout=0.0, kernels="xla",
+                              gp_knn_key_chunk=24, gp_rbf_row_chunk=5)
+    ref_lp, _ = forward(params, CFG, {**batch, "decoding_order": jnp.asarray(order)})
+    gp_lp = forward_graph_parallel(params, cfg_chunked, batch, mesh,
+                                   decoding_order=jnp.asarray(order))
+    np.testing.assert_allclose(np.asarray(gp_lp), np.asarray(ref_lp), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_graph_parallel_long_graph_50k():
+    """Ribosome-scale whole-graph forward: L=50k sharded over 8 devices with
+    chunked featurization — per-shard memory stays O(Ls*chunk), no [Ls, L]
+    distance matrix and no [Ls, K, A^2*nrbf] RBF block (VERDICT r2 item 6)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_devices=8, graph_axis=8)
+    L = 50176  # 8 * 6272
+    rng = np.random.RandomState(0)
+    # synthetic mixed structure, coordinates spread so kNN is non-trivial
+    b = make_synthetic_structure(L=512, seed=7, n_protein=256, n_dna=128)
+    reps = L // 512
+    batch = {}
+    for k, v in b.items():
+        v = np.asarray(v)
+        tiled = np.tile(v, (1, reps) + (1,) * (v.ndim - 2))
+        batch[k] = jnp.asarray(tiled)
+    # shift each repeat block apart in space so neighborhoods stay local
+    X = np.asarray(batch["X"], np.float32)
+    shift = np.repeat(np.arange(reps, dtype=np.float32) * 1e3, 512)
+    X = X + shift[None, :, None, None] * np.asarray(batch["X_m"])[..., None]
+    batch["X"] = jnp.asarray(X)
+    batch["R_idx"] = jnp.asarray(
+        np.tile(np.arange(512, dtype=np.int32), reps))[None]
+
+    cfg = ModelConfig(dropout=0.0, kernels="xla",
+                      gp_knn_key_chunk=4096, gp_rbf_row_chunk=256)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    lp = forward_graph_parallel(params, cfg, batch, mesh)
+    assert lp.shape == (1, L, cfg.num_letters)
+    assert bool(jnp.isfinite(lp).all())
