@@ -189,15 +189,23 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     W = p["edge_embedding"]["w"]
 
     # Positional block folded THROUGH the projection: (table[d]+b) @ W_pos ==
-    # (table @ W_pos)[d] + b @ W_pos — one [66,H] row-gather per edge instead
-    # of a [B,L,K,16] gather plus a 16-deep (MXU-hostile) matmul.
+    # (table @ W_pos)[d] + b @ W_pos — one [66,H] table row per edge instead
+    # of a [B,L,K,16] gather plus a 16-deep (MXU-hostile) matmul. The row
+    # lookup itself is a one-hot matmul, not jnp.take: the TPU lowering of a
+    # [B,L,K]-indexed row gather is ~4 ms here (and its VJP is a scatter),
+    # while one_hot @ table rides the MXU (~0.1 ms) with a matmul VJP.
+    # Exactness: 65 of the 66 products per row are exact zeros, so the
+    # result equals the gathered row bitwise in any dtype.
     d = jnp.clip(offset + cfg.max_relative_feature, 0,
                  2 * cfg.max_relative_feature)
     d = d * E_chains + (1 - E_chains) * (2 * cfg.max_relative_feature + 1)
     pos_table = jnp.dot(p["positional"]["w"], W[:n_pos])       # [66,H]
     pos_const = (jnp.dot(p["positional"]["b"], W[:n_pos])
                  if "b" in p["positional"] else 0.0)
-    E_pos_proj = jnp.take(pos_table, d, axis=0, mode="clip") + pos_const
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else pos_table.dtype
+    d_oh = jax.nn.one_hot(d, pos_table.shape[0], dtype=cdt)
+    E_pos_proj = (jnp.dot(d_oh, pos_table.astype(cdt))
+                  + jnp.asarray(pos_const, cdt))
     # The fused RBF kernels are specialized to the 18-atom backbone layout;
     # the 67-atom "all" table takes the shape-generic XLA path.
     if use_pallas and cfg.atom_table == "backbone":

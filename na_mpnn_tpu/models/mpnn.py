@@ -169,6 +169,12 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         # measured 40x slower on-relay without the remat. The policy keeps
         # the kernel OUTPUTS saved so the backward pass does not re-run the
         # forward kernels (it only re-runs the cheap XLA tail).
+        if cfg.remat == "none":
+            for i, layer_params in enumerate(params["encoder"]):
+                h_V, h_E = _enc_layer_train_fused(
+                    layer_params, h_V, h_E, mask_attend, layer_keys[i],
+                    cfg.dropout, cdt, E_idx, mask)
+            return h_V, h_E, E_idx
         policy = jax.checkpoint_policies.save_only_these_names("msg_kernel_out")
         for i, layer_params in enumerate(params["encoder"]):
             h_V, h_E = jax.checkpoint(_enc_layer_train_fused,
@@ -178,7 +184,7 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
         return h_V, h_E, E_idx
 
     for i, layer_params in enumerate(params["encoder"]):
-        if not deterministic:
+        if not deterministic and cfg.remat != "none":
             # Rematerialize each encoder layer during training: trades FLOPs
             # for HBM exactly like the reference's per-layer
             # torch.utils.checkpoint (na_model_utils.py:606).
@@ -370,6 +376,10 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
                 h_V = run_layer_kernel(layer_params, h_V, None)
             return h_V
 
+        if cfg.remat == "none":
+            for i, layer_params in enumerate(params["decoder"]):
+                h_V = run_layer_kernel(layer_params, h_V, layer_keys[i])
+            return h_V
         policy = jax.checkpoint_policies.save_only_these_names("msg_kernel_out")
         for i, layer_params in enumerate(params["decoder"]):
             h_V = jax.checkpoint(run_layer_kernel, policy=policy)(
@@ -377,7 +387,7 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
         return h_V
 
     for i, layer_params in enumerate(params["decoder"]):
-        if not deterministic:
+        if not deterministic and cfg.remat != "none":
             h_V = jax.checkpoint(run_layer)(layer_params, h_V, layer_keys[i])
         else:
             h_V = run_layer(layer_params, h_V, layer_keys[i])
