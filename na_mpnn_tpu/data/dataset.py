@@ -148,12 +148,39 @@ class NADataset:
 
     # -- parsing ---------------------------------------------------------
 
+    def enable_parse_cache(self, max_entries: int = 256):
+        """LRU-cache parse_structure outputs (keyed by path + mtime).
+
+        Parsing is deterministic and read-only; every per-visit random
+        choice (assembly selection, noise, crops, mutations) happens in
+        loader()/load_assembly AFTER parsing, so caching preserves training
+        semantics exactly while epochs that revisit the same files skip the
+        parser. Called per worker process by data.loader.PrefetchLoader."""
+        self._parse_cache_max = max(int(max_entries), 0)
+        if not hasattr(self, "_parse_cache"):
+            self._parse_cache = {}
+
     def parse_structure(self, structure_path: str):
+        cache_max = getattr(self, "_parse_cache_max", 0)
+        if cache_max:
+            import os as _os
+            key = (structure_path, _os.path.getmtime(structure_path))
+            hit = self._parse_cache.get(key)
+            if hit is not None:
+                return hit
         if structure_path.endswith((".pdb", ".pdb.gz")):
-            return self.pdb_parser.parse(structure_path)
-        if structure_path.endswith((".cif", ".cif.gz")):
-            return self.cif_parser.parse(structure_path)
-        raise ValueError(f"{structure_path}: Unknown structure path extension.")
+            out = self.pdb_parser.parse(structure_path)
+        elif structure_path.endswith((".cif", ".cif.gz")):
+            out = self.cif_parser.parse(structure_path)
+        else:
+            raise ValueError(
+                f"{structure_path}: Unknown structure path extension.")
+        if cache_max:
+            if len(self._parse_cache) >= cache_max:
+                # FIFO eviction — epochs sweep the corpus, LRU == FIFO here.
+                self._parse_cache.pop(next(iter(self._parse_cache)))
+            self._parse_cache[key] = out
+        return out
 
     def load_chains(self, chains) -> Dict[str, Dict]:
         """Chain namedtuples -> per-chain dense atom tables

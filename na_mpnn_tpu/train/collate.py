@@ -26,6 +26,20 @@ def bucket_length(L: int, buckets: Sequence[int] = DEFAULT_LENGTH_BUCKETS) -> in
     return int(L)
 
 
+# Batch-dimension buckets: token packing yields a different structure count
+# per batch, and every distinct (B, L) pair is a separate XLA executable —
+# bucketing B as well bounds compile count to ~one program per L bucket
+# (padded rows are PAD-masked and carry no loss).
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+
+def bucket_batch(B: int, buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS) -> int:
+    for b in buckets:
+        if B <= b:
+            return b
+    return int(B)
+
+
 def collate_batch(structures: List[Dict], pad_to: Optional[int] = None,
                   pad_batch_to: Optional[int] = None,
                   use_buckets: bool = True) -> Optional[Dict[str, np.ndarray]]:

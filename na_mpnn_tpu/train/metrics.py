@@ -57,6 +57,7 @@ class MetricManager:
     def zero_metrics(self):
         self.metrics = np.zeros((len(self.mask_to_row), len(self.metric_to_col)),
                                 np.float64)
+        self._device_acc = {}
 
     # -- device-side batch reduction ------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -105,15 +106,26 @@ class MetricManager:
                 row_names.append(name)
                 mask_list.append(m)
         masks_stack = jnp.stack(mask_list, axis=0)
-        delta = np.asarray(self._batch_delta(
+        delta = self._batch_delta(
             loss.astype(jnp.float32), accuracy.astype(jnp.float32),
             cbp_accuracy.astype(jnp.float32), cbp_mask.astype(jnp.float32),
-            S_true, S_pred, masks_stack), np.float64)
-        rows = np.array([self.mask_to_row[n] for n in row_names])
-        self.metrics[rows] += delta
+            S_true, S_pred, masks_stack)
+        # Accumulate ON DEVICE: a host readback here would synchronize every
+        # training step (~30 ms relay round trip per batch). The per-row sums
+        # ride along as device arrays and drain once at compute_metrics.
+        key = tuple(row_names)
+        prev = self._device_acc.get(key)
+        self._device_acc[key] = delta if prev is None else prev + delta
+
+    def _drain_device_acc(self):
+        for row_names, acc in self._device_acc.items():
+            rows = np.array([self.mask_to_row[n] for n in row_names])
+            self.metrics[rows] += np.asarray(acc, np.float64)
+        self._device_acc = {}
 
     # -- epoch-end normalization ----------------------------------------
     def compute_metrics(self):
+        self._drain_device_acc()
         for metric, weight_metric in self.sum_metrics.items():
             w = self.metrics[:, self.metric_to_col[weight_metric]]
             c = self.metric_to_col[metric]

@@ -188,6 +188,25 @@ class Trainer:
         self.step += 1
         return metrics
 
+    def step_cost_analysis(self, np_batch, key=None):
+        """XLA-reported (flops, bytes accessed) for the jitted train step at
+        this batch's shapes — feeds the bench roofline. Returns (None, None)
+        if the backend does not expose cost analysis."""
+        import jax
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        try:
+            c = self._train_step.lower(
+                self.params, self.opt_state, self._device_batch(np_batch),
+                key).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return (float(c.get("flops", 0.0)),
+                    float(c.get("bytes accessed", 0.0)))
+        except Exception:
+            return (None, None)
+
     # -- profiling ---------------------------------------------------------
 
     def profile_steps(self, np_batch, key, out_dir: str, n_steps: int = 3):
@@ -218,12 +237,16 @@ class Trainer:
             save_checkpoint_orbax(path, self.params, meta=meta,
                                   opt_state=self.opt_state)
             return
+        # ONE batched device->host fetch for the whole state: per-leaf
+        # np.asarray costs a full relay round trip per leaf (371 leaves
+        # measured 20.7 s; device_get pipelines the copies, ~0.3 s).
+        params_host, opt_host = jax.device_get((self.params, self.opt_state))
         # Optimizer state is stored by leaf position — optax states contain
         # empty containers that a name-based flattening cannot round-trip.
         opt_flat = {f"leaf{i:04d}": np.asarray(v)
-                    for i, v in enumerate(jax.tree.leaves(self.opt_state))}
-        save_checkpoint_npz(path, jax.tree.map(np.asarray, self.params),
-                            meta=meta, opt_state_flat=opt_flat)
+                    for i, v in enumerate(jax.tree.leaves(opt_host))}
+        save_checkpoint_npz(path, params_host, meta=meta,
+                            opt_state_flat=opt_flat)
 
     def restore(self, path: str) -> Dict:
         if os.path.isdir(path):
@@ -350,6 +373,23 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
     profile_state = {"dir": p.get("PROFILE_DIR")
                      or os.environ.get("NA_MPNN_PROFILE_DIR"), "done": False}
 
+    # Persistent per-split loaders: the worker pool (and each worker's
+    # parse cache) survives across epochs; only the epoch's cluster list is
+    # swapped in (loader.set_clusters).
+    from ..data.loader import PrefetchLoader
+    loaders = {}
+
+    def get_loader(split, batch_iter):
+        if split not in loaders:
+            loaders[split] = PrefetchLoader(
+                dataset, batch_iter, num_workers=int(p.get("NUM_WORKERS", 0)),
+                # Batch dim must divide the data-parallel axis; padded rows
+                # are fully masked (PAD tokens carry no loss).
+                pad_batch_multiple=mesh.shape["data"] if mesh is not None else None)
+        else:
+            loaders[split].set_clusters(batch_iter)
+        return loaders[split]
+
     epoch = epoch0
     while True:
         metric_manager.zero_metrics()
@@ -360,12 +400,7 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
             batch_iter = make_batch_iter(
                 df, p["BATCH_TOKENS"], p["MIN_PROTEIN_LENGTH_CUTOFF"],
                 date_cutoff, bool(p["CROP_LARGE_STRUCTURES"]), max_pdbs)
-            from ..data.loader import PrefetchLoader
-            loader = PrefetchLoader(
-                dataset, batch_iter, num_workers=int(p.get("NUM_WORKERS", 0)),
-                # Batch dim must divide the data-parallel axis; padded rows
-                # are fully masked (PAD tokens carry no loss).
-                pad_batch_multiple=mesh.shape["data"] if mesh is not None else None)
+            loader = get_loader(split, batch_iter)
             for np_batch in loader:
                 if use_interface:
                     interface = {"interface": jnp.asarray(np_batch["interface_mask"]),
@@ -416,4 +451,6 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
             break
         if max_epochs is not None and (epoch - epoch0) >= max_epochs:
             break
+    for loader in loaders.values():
+        loader.close()
     return trainer

@@ -194,11 +194,56 @@ def test_prefetch_loader_workers(mini_dataset):
     np.random.seed(0)
     clusters = list(make_batch_iter(df, 128, 1, cutoff, False, 10))
     inline = [b for b in PrefetchLoader(ds, clusters, num_workers=0)]
-    pooled = [b for b in PrefetchLoader(ds, clusters, num_workers=2)]
+    pooled_loader = PrefetchLoader(ds, clusters, num_workers=2)
+    pooled = [b for b in pooled_loader]
     assert len(inline) == len(pooled) > 0
     for a, b in zip(inline, pooled):
         np.testing.assert_array_equal(a["X"], b["X"])
         np.testing.assert_array_equal(a["S"], b["S"])
+    # second epoch over the SAME persistent pool (workers now serve parses
+    # from their caches) is identical
+    pooled2 = [b for b in pooled_loader]
+    for a, b in zip(pooled, pooled2):
+        np.testing.assert_array_equal(a["X"], b["X"])
+        np.testing.assert_array_equal(a["S"], b["S"])
+    pooled_loader.close()
+
+
+def test_parse_cache_repeat_visit_identical(mini_dataset):
+    """A cached parse re-served on a later visit yields exactly the batch a
+    fresh no-cache dataset yields (the cached object is never mutated by
+    loader()/load_assembly)."""
+    import pandas as pd
+    from na_mpnn_tpu.data.dataset import DatasetConfig, NADataset, make_batch_iter
+    from na_mpnn_tpu.data.loader import PrefetchLoader
+    from na_mpnn_tpu.data.parsers import make_parsers
+
+    df = pd.read_csv(mini_dataset["train_csv"])
+    df["date"] = pd.to_datetime(df["date"], format="%Y-%m-%d")
+    cutoff = pd.to_datetime("2030-01-01", format="%Y-%m-%d")
+    np.random.seed(0)
+    clusters = list(make_batch_iter(df, 128, 1, cutoff, False, 10))
+
+    cif, pdb = make_parsers()
+    cached = NADataset(cif_parser=cif, pdb_parser=pdb,
+                       config=DatasetConfig(batch_tokens=128))
+    cached.enable_parse_cache(64)
+    # visit everything twice through the cache
+    np.random.seed(1)
+    first = [b for b in PrefetchLoader(cached, clusters, num_workers=0)]
+    np.random.seed(1)
+    second = [b for b in PrefetchLoader(cached, clusters, num_workers=0)]
+
+    cif2, pdb2 = make_parsers()
+    fresh = NADataset(cif_parser=cif2, pdb_parser=pdb2,
+                      config=DatasetConfig(batch_tokens=128))
+    np.random.seed(1)
+    nocache = [b for b in PrefetchLoader(fresh, clusters, num_workers=0,
+                                         parse_cache_size=0)]
+    for a, b, c in zip(first, second, nocache):
+        np.testing.assert_array_equal(a["X"], b["X"])
+        np.testing.assert_array_equal(a["X"], c["X"])
+        np.testing.assert_array_equal(a["S"], c["S"])
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path):
