@@ -23,16 +23,32 @@ import numpy as np
 
 from .. import constants
 
-# Residue-name classification (role of ProDy's protein/nucleic flags).
-PROTEIN_RESNAMES = set(constants.PROTEIN_RESTYPES) | {
-    "MSE", "SEC", "PYL", "ASX", "GLX", "XAA", "CSO", "HIP", "HSD", "HSE",
-    "HSP", "SEP", "TPO", "PTR", "MLY", "M3L", "HYP", "AIB", "ABA", "ORN",
+# Residue-name classification, mirroring ProDy's flag definitions
+# (prody/atomic/flags.py stdAA/nonstdAA, nucleobase/nucleoside/nucleotide,
+# water) because the reference parser classifies via ProDy selections
+# (`protein`, `nucleic`, `water`; reference inference/data_utils.py:234-276).
+# Residues outside these sets (e.g. HYP, PSU, 5MC) are NOT polymer residues
+# at inference — their heavy atoms become ligand context (Y/Y_t/Y_m), exactly
+# as the reference behaves. The training-path CIF parser handles modified
+# residues through the residue library instead (data/cif.py).
+PROTEIN_RESNAMES = {
+    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
+    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
+    # ProDy nonstdAA
+    "ASX", "GLX", "CSO", "HIP", "HSD", "HSE", "HSP", "MSE", "SEC", "SEP",
+    "TPO", "PTR", "XLE", "XAA", "UNK", "PYL",
 }
-NUCLEIC_RESNAMES = set(constants.DNA_RESTYPES) | set(constants.RNA_RESTYPES) | {
-    "DU", "DI", "T", "I", "N", "PSU", "1MA", "5MC", "7MG", "5MU", "H2U",
-    "M2G", "OMC", "OMG", "YG", "2MG", "4SU",
+NUCLEIC_RESNAMES = {
+    # nucleotides / deoxynucleotides
+    "DA", "DC", "DG", "DT", "DU", "DI", "A", "C", "G", "T", "U", "I",
+    # nucleobases
+    "GUN", "ADE", "CYT", "THY", "URA",
+    # nucleoside phosphates
+    "AMP", "ADP", "ATP", "CMP", "CDP", "CTP", "GMP", "GDP", "GTP",
+    "TMP", "TDP", "TTP", "UMP", "UDP", "UTP",
 }
-WATER_RESNAMES = {"HOH", "WAT", "DOD", "H2O"}
+WATER_RESNAMES = {"HOH", "DOD", "WAT", "TIP", "TIP2", "TIP3", "TIP4", "H2O",
+                  "OH2"}
 
 
 @dataclasses.dataclass

@@ -59,13 +59,22 @@ def _dotp(a, b, compute_dtype):
                    preferred_element_type=jnp.float32, precision=precision)
 
 
-def _rep_seg_matrices(T, K):
-    """rep [T*K, T]: broadcast node rows to their K edges; seg [T, T*K]:
-    sum each node's K edge rows. Built from iota (0/1, exact)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T * K, T), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (T * K, T), 1)
-    rep = (rows // K == cols).astype(jnp.float32)
-    return rep, rep.T
+def _rep_rows(a, K):
+    """Exact row broadcast [T, H] -> [T*K, H] (row i copied to rows i*K..).
+
+    Replaces the rep-matrix matmul: that [T*K, T] @ [T, H] dot costs
+    2*T*K*H*T flops (quadratic in the node tile T) with a T-deep — MXU-
+    hostile — contraction; this is a VPU broadcast+reshape, O(T*K*H)."""
+    T, H = a.shape
+    return jnp.broadcast_to(a[:, None, :], (T, K, H)).reshape(T * K, H)
+
+
+def _seg_sum(m, K):
+    """Exact per-node neighbor sum [T*K, H] -> [T, H] (fp32 accumulation).
+
+    Replaces the seg-matrix matmul (same quadratic-in-T cost as _rep_rows)."""
+    TK, H = m.shape
+    return jnp.sum(m.astype(jnp.float32).reshape(TK // K, K, H), axis=1)
 
 
 def _node_update_kernel(h_V_ref, h_E_ref, G_ref, static_ref, mask_att_ref,
@@ -73,13 +82,9 @@ def _node_update_kernel(h_V_ref, h_E_ref, G_ref, static_ref, mask_att_ref,
                         b3_ref, n1s_ref, n1b_ref, win_ref, bin_ref, wout_ref,
                         bout_ref, n2s_ref, n2b_ref, out_ref, *, K,
                         compute_dtype, has_static):
-    T = h_V_ref.shape[0]
-    rep, seg = _rep_seg_matrices(T, K)
-
     h_V = h_V_ref[:]
     a_i = _dotp(h_V, wa_ref[:], compute_dtype)                     # [T,H]
-    a_edges = jnp.dot(rep, a_i, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)          # [T*K,H]
+    a_edges = _rep_rows(a_i, K)                                     # [T*K,H]
     x = a_edges + G_ref[:] + b1_ref[:]
     if has_static:
         # decoder: h_E slot carries the precomputed static edge terms
@@ -91,8 +96,7 @@ def _node_update_kernel(h_V_ref, h_E_ref, G_ref, static_ref, mask_att_ref,
     m = _dotp(_gelu(x), w2_ref[:], compute_dtype) + b2_ref[:]
     m = _dotp(_gelu(m), w3_ref[:], compute_dtype) + b3_ref[:]
     m = m * mask_att_ref[:]
-    dh = jnp.dot(seg, m, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST) / MESSAGE_SCALE
+    dh = _seg_sum(m, K) / MESSAGE_SCALE
 
     h = _ln(h_V.astype(jnp.float32) + dh, n1s_ref[:], n1b_ref[:])
     ff = _dotp(_gelu(_dotp(h, win_ref[:], compute_dtype) + bin_ref[:]),
@@ -104,11 +108,8 @@ def _node_update_kernel(h_V_ref, h_E_ref, G_ref, static_ref, mask_att_ref,
 def _edge_update_kernel(h_V_ref, h_E_ref, G_ref, wa_ref, wb_ref, b1_ref,
                         w2_ref, b2_ref, w3_ref, b3_ref, n3s_ref, n3b_ref,
                         out_ref, *, K, compute_dtype):
-    T = h_V_ref.shape[0]
-    rep, _ = _rep_seg_matrices(T, K)
     a_i = _dotp(h_V_ref[:], wa_ref[:], compute_dtype)
-    a_edges = jnp.dot(rep, a_i, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    a_edges = _rep_rows(a_i, K)
     x = a_edges + _dotp(h_E_ref[:], wb_ref[:], compute_dtype) + G_ref[:] + b1_ref[:]
     m = _dotp(_gelu(x), w2_ref[:], compute_dtype) + b2_ref[:]
     m = _dotp(_gelu(m), w3_ref[:], compute_dtype) + b3_ref[:]

@@ -32,10 +32,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.modules import MESSAGE_SCALE
-from .fused_layers import _dotp, _gelu, _rep_seg_matrices
+import os
 
-NODE_TILE = 16  # nodes per grid step (x K edges each)
+from ..models.modules import MESSAGE_SCALE
+from .fused_layers import _dotp, _gelu, _rep_rows, _seg_sum
+
+# Nodes per grid step (x K edges each). 32 measured best on v5e at the
+# 6000-token training shape (16/32/64 sweep, round 4); overridable for
+# sweeps via env.
+NODE_TILE = int(os.environ.get("NA_MPNN_NODE_TILE", "32"))
 
 
 def _gelu_grad(x):
@@ -48,11 +53,10 @@ def _gelu_grad(x):
     return cdf + xf * pdf
 
 
-def _compute_x(h_V, e_in, G, wa_ref, wb_ref, b1_ref, rep, compute_dtype,
+def _compute_x(h_V, e_in, G, wa_ref, wb_ref, b1_ref, K, compute_dtype,
                contract_e):
     a_i = _dotp(h_V, wa_ref[:], compute_dtype)
-    a_edges = jnp.dot(rep, a_i, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    a_edges = _rep_rows(a_i, K)
     x = a_edges + G + b1_ref[:]
     if contract_e:
         x = x + _dotp(e_in, wb_ref[:], compute_dtype)
@@ -64,17 +68,13 @@ def _compute_x(h_V, e_in, G, wa_ref, wb_ref, b1_ref, rep, compute_dtype,
 def _fwd_kernel(h_V_ref, e_in_ref, G_ref, mask_att_ref, wa_ref, wb_ref,
                 b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, *, K,
                 compute_dtype, contract_e, aggregate):
-    T = h_V_ref.shape[0]
-    rep, seg = _rep_seg_matrices(T, K)
     x = _compute_x(h_V_ref[:], e_in_ref[:], G_ref[:], wa_ref, wb_ref, b1_ref,
-                   rep, compute_dtype, contract_e)
+                   K, compute_dtype, contract_e)
     m = _dotp(_gelu(x), w2_ref[:], compute_dtype) + b2_ref[:]
     m = _dotp(_gelu(m), w3_ref[:], compute_dtype) + b3_ref[:]
     if aggregate:
         m = m * mask_att_ref[:]
-        out_ref[:] = (jnp.dot(seg, m, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                      / MESSAGE_SCALE).astype(out_ref.dtype)
+        out_ref[:] = (_seg_sum(m, K) / MESSAGE_SCALE).astype(out_ref.dtype)
     else:
         out_ref[:] = m.astype(out_ref.dtype)
 
@@ -84,8 +84,6 @@ def _bwd_kernel(h_V_ref, e_in_ref, G_ref, mask_att_ref, wa_ref, wb_ref,
                 g_hV_ref, g_ein_ref, g_G_ref, dwa_ref, dwb_ref, db1_ref,
                 dw2_ref, db2_ref, dw3_ref, db3_ref, *, K, compute_dtype,
                 contract_e, aggregate):
-    T = h_V_ref.shape[0]
-    rep, seg = _rep_seg_matrices(T, K)
     h_V = h_V_ref[:]
     e_in = e_in_ref[:]
 
@@ -96,7 +94,7 @@ def _bwd_kernel(h_V_ref, e_in_ref, G_ref, mask_att_ref, wa_ref, wb_ref,
             r[:] = jnp.zeros_like(r)
 
     # Recompute the tile's activations (remat).
-    x = _compute_x(h_V, e_in, G_ref[:], wa_ref, wb_ref, b1_ref, rep,
+    x = _compute_x(h_V, e_in, G_ref[:], wa_ref, wb_ref, b1_ref, K,
                    compute_dtype, contract_e)
     u1 = _gelu(x)
     y = _dotp(u1, w2_ref[:], compute_dtype) + b2_ref[:]
@@ -104,9 +102,7 @@ def _bwd_kernel(h_V_ref, e_in_ref, G_ref, mask_att_ref, wa_ref, wb_ref,
 
     # Cotangent of the per-edge message m.
     if aggregate:
-        g_m = jnp.dot(rep, g_ref[:].astype(jnp.float32),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        g_m = _rep_rows(g_ref[:].astype(jnp.float32), K)
         g_m = g_m * (mask_att_ref[:] / MESSAGE_SCALE)
     else:
         g_m = g_ref[:].astype(jnp.float32)
@@ -140,8 +136,7 @@ def _bwd_kernel(h_V_ref, e_in_ref, G_ref, mask_att_ref, wa_ref, wb_ref,
     else:
         g_ein_ref[:] = g_x.astype(g_ein_ref.dtype)
 
-    s = jnp.dot(seg, g_x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)       # [T, H]
+    s = _seg_sum(g_x, K)                                   # [T, H]
     g_hV_ref[:] = dotB(s, wa_ref[:]).astype(g_hV_ref.dtype)
     dwa_ref[:] += dotT_acc(h_V, s)
 
@@ -277,20 +272,21 @@ message_mlp.defvjp(_message_mlp_fwd, _message_mlp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _onehot_rows(eidx, L, transpose=False):
+def _onehot_rows(eidx, L, transpose=False, dtype=jnp.float32):
     """0/1 selection matrix from per-edge neighbor indices eidx [T*K, 1]:
-    [T*K, L] (or its transpose) with row k one-hot at column eidx[k]."""
+    [T*K, L] (or its transpose) with row k one-hot at column eidx[k].
+    Built directly in the matmul dtype (0/1 are exact in any float)."""
     TK = eidx.shape[0]
     if transpose:
         rows = jax.lax.broadcasted_iota(jnp.int32, (L, TK), 0)
-        return (rows == eidx[:, 0][None, :]).astype(jnp.float32)
+        return (rows == eidx[:, 0][None, :]).astype(dtype)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TK, L), 1)
-    return (cols == eidx).astype(jnp.float32)
+    return (cols == eidx).astype(dtype)
 
 
 def _sel(onehot, table, compute_dtype):
     # Exact selection even at bf16: one nonzero product per output element.
-    return jnp.dot(onehot.astype(compute_dtype), table.astype(compute_dtype),
+    return jnp.dot(onehot, table.astype(compute_dtype),
                    preferred_element_type=jnp.float32)
 
 
@@ -304,15 +300,12 @@ def _fwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     dec mode: x = rep@(h_V@wa) + m1d*(e_in@wb) + ctx + b1 where the table has
     3H cols and ctx = mbw*(sel0+sel1) + mfw*sel2 (models.mpnn.edge_context
     semantics); m1d rides mask_att_ref."""
-    T = h_V_ref.shape[0]
     H = h_V_ref.shape[1]
-    rep, seg = _rep_seg_matrices(T, K)
     L = table_ref.shape[0]
 
     a_i = _dotp(h_V_ref[:], wa_ref[:], compute_dtype)
-    x = jnp.dot(rep, a_i, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b1_ref[:]
-    onehot = _onehot_rows(eidx_ref[:], L)
+    x = _rep_rows(a_i, K) + b1_ref[:]
+    onehot = _onehot_rows(eidx_ref[:], L, dtype=compute_dtype)
     g = _sel(onehot, table_ref[:], compute_dtype)
     if dec_mode:
         ctx = (mbw_ref[:] * (g[:, :H] + g[:, H:2 * H])
@@ -327,9 +320,7 @@ def _fwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     if aggregate:
         if not dec_mode:
             m = m * mask_att_ref[:]
-        out_ref[:] = (jnp.dot(seg, m, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                      / MESSAGE_SCALE).astype(out_ref.dtype)
+        out_ref[:] = (_seg_sum(m, K) / MESSAGE_SCALE).astype(out_ref.dtype)
     else:
         out_ref[:] = m.astype(out_ref.dtype)
 
@@ -342,7 +333,6 @@ def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
                       compute_dtype, dec_mode, aggregate):
     T = h_V_ref.shape[0]
     H = h_V_ref.shape[1]
-    rep, seg = _rep_seg_matrices(T, K)
     L = table_ref.shape[0]
     h_V = h_V_ref[:]
     e_in = e_in_ref[:]
@@ -360,11 +350,10 @@ def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
         g_tab_ref[:] = jnp.zeros_like(g_tab_ref)
 
     # Recompute the tile's activations.
-    onehot = _onehot_rows(eidx_ref[:], L)
+    onehot = _onehot_rows(eidx_ref[:], L, dtype=compute_dtype)
     g_sel = _sel(onehot, table_ref[:], compute_dtype)
     a_i = _dotp(h_V, wa_ref[:], compute_dtype)
-    x = jnp.dot(rep, a_i, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b1_ref[:]
+    x = _rep_rows(a_i, K) + b1_ref[:]
     if dec_mode:
         ctx = (mbw_ref[:] * (g_sel[:, :H] + g_sel[:, H:2 * H])
                + mfw_ref[:] * g_sel[:, 2 * H:])
@@ -376,9 +365,7 @@ def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     u2 = _gelu(y)
 
     if aggregate:
-        g_m = jnp.dot(rep, g_ref[:].astype(jnp.float32),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        g_m = _rep_rows(g_ref[:].astype(jnp.float32), K)
         if not dec_mode:
             g_m = g_m * mask_att_ref[:]
         g_m = g_m / MESSAGE_SCALE
@@ -407,7 +394,8 @@ def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     g_x = dotB(g_y, w2_ref[:]) * _gelu_grad(x)
     db1_ref[:] += jnp.sum(g_x, axis=0, keepdims=True)
 
-    onehotT = _onehot_rows(eidx_ref[:], L, transpose=True)
+    onehotT = _onehot_rows(eidx_ref[:], L, transpose=True,
+                           dtype=compute_dtype)
     if dec_mode:
         g_e_contrib = mask_att_ref[:] * g_x
         g_tab = jnp.concatenate(
@@ -419,8 +407,7 @@ def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     g_ein_ref[:] = dotB(g_e_contrib, wb_ref[:]).astype(g_ein_ref.dtype)
     dwb_ref[:] += dotT_acc(e_in, g_e_contrib)
 
-    s = jnp.dot(seg, g_x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    s = _seg_sum(g_x, K)
     g_hV_ref[:] = dotB(s, wa_ref[:]).astype(g_hV_ref.dtype)
     dwa_ref[:] += dotT_acc(h_V, s)
 

@@ -20,7 +20,11 @@ EXAMPLES = "/root/reference/inference/examples"
 def cropped_1am9():
     """1am9 cropped to the DNA duplex + nearby protein (keeps the reference
     Python-loop oracle tractable)."""
-    p = parse_pdb(f"{EXAMPLES}/1am9.pdb")
+    # parse_all_atoms: the H-bond engine needs base/side-chain atoms, and the
+    # xyz_65 column layout only follows constants.ALL_ATOM_ORDER in all-atom
+    # mode (backbone-mode parses use the 16-atom ordering, as the reference
+    # parser does; inference/data_utils.py:154-165).
+    p = parse_pdb(f"{EXAMPLES}/1am9.pdb", parse_all_atoms=True)
     X = p["xyz_65"].astype(np.float32)
     X_m = p["xyz_65_m"].astype(np.int32)
     S = p["S"].astype(np.int32)
