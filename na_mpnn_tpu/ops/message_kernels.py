@@ -37,10 +37,11 @@ import os
 from ..models.modules import MESSAGE_SCALE
 from .fused_layers import _dotp, _gelu, _rep_rows, _seg_sum
 
-# Nodes per grid step (x K edges each). 32 measured best on v5e at the
-# 6000-token training shape (16/32/64 sweep, round 4); overridable for
-# sweeps via env.
-NODE_TILE = int(os.environ.get("NA_MPNN_NODE_TILE", "32"))
+# Nodes per grid step (x K edges each). 16 measured best on v5e at the
+# 6000-token training shape (16/32 sweep: 78.8 vs 85.8 ms train step, and
+# T=32 additionally overflows the 16MB scoped-VMEM limit in the decoder
+# table kernel); overridable for sweeps via env.
+NODE_TILE = int(os.environ.get("NA_MPNN_NODE_TILE", "16"))
 
 
 def _gelu_grad(x):

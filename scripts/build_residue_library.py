@@ -134,6 +134,60 @@ AMINO_ACIDS = [
 ]
 
 
+def derive(parent, name, add_atoms=(), add_bonds=(), rename=(),
+           set_element=(), set_charge=(), set_stereo=(), del_bonds=(),
+           set_order=()):
+    """Modified residue from its parent: copy + graph edits (the role the
+    PDB CCD's _chem_comp.mon_nstd_parent_comp_id relationship plays).
+
+    rename: (old, new, element) — renames the atom and every bond endpoint.
+    set_order: ((a, b, order, aromatic), ...) — retype an existing bond.
+    """
+    import copy
+    e = copy.deepcopy(parent)
+    e["name"] = name
+    for old, new, el in rename:
+        for a in e["atoms"]:
+            if a["atom_id"] == old:
+                a["atom_id"], a["symbol"] = new, el
+        for b in e["bonds"]:
+            if b["a"] == old:
+                b["a"] = new
+            if b["b"] == old:
+                b["b"] = new
+    for aid, el in set_element:
+        for a in e["atoms"]:
+            if a["atom_id"] == aid:
+                a["symbol"] = el
+    for aid, q in set_charge:
+        for a in e["atoms"]:
+            if a["atom_id"] == aid:
+                a["charge"] = q
+    for aid, st in set_stereo:
+        for a in e["atoms"]:
+            if a["atom_id"] == aid:
+                a["stereo"] = st
+    for pair in del_bonds:
+        e["bonds"] = [b for b in e["bonds"]
+                      if {b["a"], b["b"]} != set(pair)]
+    for a, b, order, arom in set_order:
+        for bd in e["bonds"]:
+            if {bd["a"], bd["b"]} == {a, b}:
+                bd["order"], bd["aromatic"] = order, arom
+    e["atoms"].extend(add_atoms)
+    e["bonds"].extend(add_bonds)
+    return e
+
+
+def phosphate(host, prefix=("O1P", "O2P", "O3P")):
+    """Phosphoamino-acid decoration: P + three terminal oxygens on `host`
+    (CCD atom names for SEP/TPO/PTR)."""
+    return ([atom("P", "P"), atom(prefix[0], "O"), atom(prefix[1], "O"),
+             atom(prefix[2], "O")],
+            [bond(host, "P"), bond("P", prefix[0], 2), bond("P", prefix[1]),
+             bond("P", prefix[2])])
+
+
 def nucleotide(name, base_atoms, base_bonds, glyco_n, deoxy):
     """Nucleoside-5'-monophosphate entry (CCD form): OP3 is the leaving
     5'-phosphate cap; ribose carries O2', deoxyribose does not."""
@@ -200,21 +254,148 @@ def pyrimidine(kind):
     return atoms, bonds
 
 
+def hypoxanthine():
+    """Inosine base: guanine minus the exocyclic N2."""
+    atoms, bonds = purine("G")
+    atoms = [a for a in atoms if a != "N2"]
+    bonds = [b for b in bonds if "N2" not in (b["a"], b["b"])]
+    return atoms, bonds
+
+
+def modified_amino_acids(std):
+    """Common modified amino acids (reference: the reference's packaged
+    ligands.json.gz covers the full CCD, cifutils.py:130; this builds the
+    high-frequency subset from parent-residue graph edits, with CCD heavy-
+    atom names). Frequency-ranked set: MSE dominates (SeMet phasing), then
+    the phospho-residues, oxidized/modified Cys, hydroxyproline, and the
+    methylated/acylated lysines of histone structures."""
+    P_SEP, B_SEP = phosphate("OG")
+    P_TPO, B_TPO = phosphate("OG1")
+    P_PTR, B_PTR = phosphate("OH")
+    return [
+        # selenomethionine / selenocysteine
+        derive(std["MET"], "MSE", rename=[("SD", "SE", "SE")]),
+        derive(std["CYS"], "SEC", rename=[("SG", "SE", "SE")]),
+        # phospho-Ser/Thr/Tyr
+        derive(std["SER"], "SEP", add_atoms=P_SEP, add_bonds=B_SEP),
+        derive(std["THR"], "TPO", add_atoms=P_TPO, add_bonds=B_TPO),
+        derive(std["TYR"], "PTR", add_atoms=P_PTR, add_bonds=B_PTR),
+        # cysteine oxidation states
+        derive(std["CYS"], "CSO", add_atoms=[atom("OD", "O")],
+               add_bonds=[bond("SG", "OD")]),
+        derive(std["CYS"], "CSD", add_atoms=[atom("OD1", "O"),
+                                             atom("OD2", "O")],
+               add_bonds=[bond("SG", "OD1", 2), bond("SG", "OD2")]),
+        # S,S-(2-hydroxyethyl)thiocysteine (BME adduct)
+        derive(std["CYS"], "CME",
+               add_atoms=[atom("SD", "S"), atom("CE", "C"), atom("CZ", "C"),
+                          atom("OH", "O")],
+               add_bonds=[bond("SG", "SD"), bond("SD", "CE"),
+                          bond("CE", "CZ"), bond("CZ", "OH")]),
+        # 4-hydroxyproline
+        derive(std["PRO"], "HYP", add_atoms=[atom("OD1", "O")],
+               add_bonds=[bond("CG", "OD1")], set_stereo=[("CG", "R")]),
+        # methylated / acetylated / carboxylated lysines
+        derive(std["LYS"], "MLZ", add_atoms=[atom("CM", "C")],
+               add_bonds=[bond("NZ", "CM")]),
+        derive(std["LYS"], "MLY", add_atoms=[atom("CH1", "C"),
+                                             atom("CH2", "C")],
+               add_bonds=[bond("NZ", "CH1"), bond("NZ", "CH2")]),
+        derive(std["LYS"], "M3L",
+               add_atoms=[atom("CM1", "C"), atom("CM2", "C"),
+                          atom("CM3", "C")],
+               add_bonds=[bond("NZ", "CM1"), bond("NZ", "CM2"),
+                          bond("NZ", "CM3")],
+               set_charge=[("NZ", 1)]),
+        derive(std["LYS"], "ALY",
+               add_atoms=[atom("CH", "C"), atom("OH", "O"), atom("CH3", "C")],
+               add_bonds=[bond("NZ", "CH"), bond("CH", "OH", 2),
+                          bond("CH", "CH3")]),
+        derive(std["LYS"], "KCX",
+               add_atoms=[atom("CX", "C"), atom("OQ1", "O"), atom("OQ2", "O")],
+               add_bonds=[bond("NZ", "CX"), bond("CX", "OQ1", 2),
+                          bond("CX", "OQ2")]),
+        # pyroglutamate (cyclized N-terminal Glu/Gln)
+        derive(amino("PCA", ["CB", "CG", "CD", "OE"],
+                     [bond("CA", "CB"), bond("CB", "CG"), bond("CG", "CD"),
+                      bond("CD", "OE", 2)]), "PCA",
+               add_bonds=[bond("CD", "N")]),
+        # N-formylmethionine
+        derive(std["MET"], "FME", add_atoms=[atom("CN", "C"), atom("O1", "O")],
+               add_bonds=[bond("N", "CN"), bond("CN", "O1", 2)]),
+    ]
+
+
+def modified_nucleotides(std):
+    """Common modified nucleotides (the tRNA set dominates the PDB's
+    modified-NA population: 2MG/M2G/OMC/OMG/5MC/7MG/5MU/PSU/1MA/H2U of
+    e.g. 1ehz, plus inosine and the deoxy U/I/5-methyl-C). CCD heavy-atom
+    names; ring chemistry approximated as the parent's where a methylation
+    formally rearranges double bonds (1MA, 7MG) — topology and elements,
+    the properties the featurizer consumes, are exact."""
+    mods = [
+        # pseudouridine: uracil C-glycoside — relink the sugar to C5
+        derive(std["U"], "PSU", del_bonds=[("C1'", "N1")],
+               add_bonds=[bond("C1'", "C5")]),
+        # base methylations
+        derive(std["C"], "5MC", add_atoms=[atom("CM5", "C")],
+               add_bonds=[bond("C5", "CM5")]),
+        derive(std["DC"], "5CM", add_atoms=[atom("C5A", "C")],
+               add_bonds=[bond("C5", "C5A")]),
+        derive(std["U"], "5MU", add_atoms=[atom("C5M", "C")],
+               add_bonds=[bond("C5", "C5M")]),
+        derive(std["A"], "1MA", add_atoms=[atom("CM1", "C")],
+               add_bonds=[bond("N1", "CM1")]),
+        derive(std["G"], "7MG", add_atoms=[atom("CM7", "C")],
+               add_bonds=[bond("N7", "CM7")], set_charge=[("N7", 1)]),
+        derive(std["G"], "2MG", add_atoms=[atom("CM2", "C")],
+               add_bonds=[bond("N2", "CM2")]),
+        derive(std["G"], "M2G", add_atoms=[atom("CM1", "C"),
+                                           atom("CM2", "C")],
+               add_bonds=[bond("N2", "CM1"), bond("N2", "CM2")]),
+        # 2'-O-methylations
+        derive(std["C"], "OMC", add_atoms=[atom("CM2", "C")],
+               add_bonds=[bond("O2'", "CM2")]),
+        derive(std["G"], "OMG", add_atoms=[atom("CM2", "C")],
+               add_bonds=[bond("O2'", "CM2")]),
+        # dihydrouridine: saturated C5-C6
+        derive(std["U"], "H2U",
+               set_order=[("C5", "C6", 1, False), ("N1", "C2", 1, False),
+                          ("C2", "N3", 1, False), ("N3", "C4", 1, False),
+                          ("C4", "C5", 1, False), ("C6", "N1", 1, False)]),
+        # 4-thiouridine
+        derive(std["U"], "4SU", rename=[("O4", "S4", "S")]),
+        # 5-bromo-dU
+        derive(std["DU"], "BRU", add_atoms=[atom("BR", "BR")],
+               add_bonds=[bond("C5", "BR")]),
+    ]
+    return mods
+
+
 def build_all():
     residues = {}
     for aa in AMINO_ACIDS:
         residues[aa["name"]] = aa
-    for name, kind, deoxy in [("A", "A", False), ("G", "G", False),
-                              ("C", "C", False), ("U", "U", False),
-                              ("DA", "A", True), ("DG", "G", True),
-                              ("DC", "C", True), ("DT", "T", True)]:
+    nt_specs = [("A", "A", False), ("G", "G", False),
+                ("C", "C", False), ("U", "U", False),
+                ("DA", "A", True), ("DG", "G", True),
+                ("DC", "C", True), ("DT", "T", True),
+                ("DU", "U", True), ("I", "I", False), ("DI", "I", True)]
+    for name, kind, deoxy in nt_specs:
         if kind in ("A", "G"):
             base_atoms, base_bonds = purine(kind)
+            glyco = "N9"
+        elif kind == "I":
+            base_atoms, base_bonds = hypoxanthine()
             glyco = "N9"
         else:
             base_atoms, base_bonds = pyrimidine(kind)
             glyco = "N1"
         residues[name] = nucleotide(name, base_atoms, base_bonds, glyco, deoxy)
+    for e in modified_amino_acids(residues):
+        residues[e["name"]] = e
+    for e in modified_nucleotides(residues):
+        residues[e["name"]] = e
     return residues
 
 

@@ -497,3 +497,148 @@ def test_standard_residue_library():
     f1d = feat.features_1d(lib._raw["HIS"])
     hyb = {a["atom_id"]: h for a, h in zip(lib._raw["HIS"]["atoms"], f1d[:, 3])}
     assert hyb["CG"] == 2 and hyb["CB"] == 3                 # sp2 ring, sp3 CB
+
+
+# Synthetic structure exercising modified residues: an MSE-containing protein
+# chain, a PSU-containing RNA chain, and a free 7MG nucleotide ligand — the
+# residue classes the reference resolves through its CCD-wide ligands.json.gz
+# (cifutils.py:130). All must resolve from the PACKAGED library (no cif_dir).
+MODIFIED_STRUCTURE_CIF = textwrap.dedent("""\
+    data_MODX
+    #
+    _exptl.method "X-RAY DIFFRACTION"
+    #
+    loop_
+    _entity_poly.entity_id
+    _entity_poly.type
+    _entity_poly.pdbx_seq_one_letter_code_can
+    1 polypeptide(L) GM
+    2 polyribonucleotide AU
+    #
+    loop_
+    _pdbx_poly_seq_scheme.asym_id
+    _pdbx_poly_seq_scheme.entity_id
+    _pdbx_poly_seq_scheme.seq_id
+    A 1 1
+    A 1 2
+    B 2 1
+    B 2 2
+    #
+    loop_
+    _atom_site.group_PDB
+    _atom_site.type_symbol
+    _atom_site.label_atom_id
+    _atom_site.label_comp_id
+    _atom_site.label_asym_id
+    _atom_site.label_seq_id
+    _atom_site.auth_seq_id
+    _atom_site.label_alt_id
+    _atom_site.Cartn_x
+    _atom_site.Cartn_y
+    _atom_site.Cartn_z
+    _atom_site.occupancy
+    _atom_site.B_iso_or_equiv
+    ATOM   N  N   GLY A 1 1 . 0.0 0.0 0.0 1.0 10.0
+    ATOM   C  CA  GLY A 1 1 . 1.4 0.0 0.0 1.0 10.0
+    ATOM   C  C   GLY A 1 1 . 2.1 1.2 0.0 1.0 10.0
+    ATOM   O  O   GLY A 1 1 . 1.6 2.3 0.0 1.0 10.0
+    HETATM N  N   MSE A 2 2 . 3.4 1.2 0.0 1.0 10.0
+    HETATM C  CA  MSE A 2 2 . 4.2 2.4 0.0 1.0 10.0
+    HETATM C  C   MSE A 2 2 . 5.6 2.0 0.0 1.0 10.0
+    HETATM O  O   MSE A 2 2 . 6.0 0.9 0.0 1.0 10.0
+    HETATM C  CB  MSE A 2 2 . 4.0 3.3 1.2 1.0 10.0
+    HETATM C  CG  MSE A 2 2 . 4.6 4.7 1.1 1.0 10.0
+    HETATM SE SE  MSE A 2 2 . 4.2 5.8 2.7 1.0 10.0
+    HETATM C  CE  MSE A 2 2 . 5.3 7.4 2.3 1.0 10.0
+    ATOM   P  P   A   B 1 5 . 10.0 0.0 0.0 1.0 12.0
+    ATOM   C  C1' A   B 1 5 . 11.0 1.0 0.0 1.0 12.0
+    ATOM   N  N9  A   B 1 5 . 12.0 2.0 0.0 1.0 12.0
+    HETATM P  P   PSU B 2 6 . 13.0 3.0 0.0 1.0 12.0
+    HETATM C  C1' PSU B 2 6 . 14.0 4.0 0.0 1.0 12.0
+    HETATM C  C5  PSU B 2 6 . 15.0 5.0 0.0 1.0 12.0
+    HETATM N  N1  PSU B 2 6 . 15.5 6.2 0.0 1.0 12.0
+    HETATM P  P   7MG C . 9 . 20.0 0.0 0.0 1.0 20.0
+    HETATM C  C1' 7MG C . 9 . 21.0 1.0 0.0 1.0 20.0
+    HETATM N  N9  7MG C . 9 . 22.0 2.0 0.0 1.0 20.0
+    HETATM N  N7  7MG C . 9 . 23.0 3.0 0.0 1.0 20.0
+    HETATM C  CM7 7MG C . 9 . 24.0 4.0 0.0 1.0 20.0
+    """)
+
+
+def test_packaged_library_covers_modified_residues():
+    """The packaged residue_library.json.gz carries the high-frequency
+    modified amino acids and nucleotides (VERDICT r3 item 7; role of the
+    reference's CCD-wide ligands.json.gz, cifutils.py:130), with exact
+    heavy-atom topology."""
+    from na_mpnn_tpu.data.ligands import MolFeaturizer, get_topology
+    lib = ResidueLibrary.standard()
+    modified = ["MSE", "SEC", "SEP", "TPO", "PTR", "CSO", "CSD", "CME",
+                "HYP", "MLZ", "MLY", "M3L", "ALY", "KCX", "PCA", "FME",
+                "PSU", "5MC", "5CM", "5MU", "1MA", "7MG", "2MG", "M2G",
+                "OMC", "OMG", "H2U", "4SU", "BRU", "I", "DI", "DU"]
+    for name in modified:
+        res = lib.get(name)
+        assert res is not None, name
+        assert len(res.atoms) >= 7, name
+
+    # element edits
+    assert lib.get("MSE").atoms["SE"].element.upper() == "SE"
+    assert lib.get("MSE").atoms["SE"].parent in ("CG", "CE")
+    assert lib.get("SEC").atoms["SE"].element.upper() == "SE"
+    assert lib.get("4SU").atoms["S4"].element.upper() == "S"
+    assert lib.get("BRU").atoms["BR"].element.upper() == "BR"
+
+    # phosphoamino acids: P carries three terminal oxygens off the hydroxyl
+    for name, host in [("SEP", "OG"), ("TPO", "OG1"), ("PTR", "OH")]:
+        res = lib.get(name)
+        assert res.atoms["P"].parent in (host, "O1P", "O2P", "O3P"), name
+        assert {"O1P", "O2P", "O3P"} <= set(res.atoms), name
+
+    # pseudouridine is a C-glycoside: sugar bonds to C5, not N1
+    psu_bonds = {frozenset((b.a, b.b)) for b in lib.get("PSU").bonds}
+    assert frozenset(("C1'", "C5")) in psu_bonds
+    assert frozenset(("C1'", "N1")) not in psu_bonds
+
+    # dihydrouridine ring is saturated (no aromatic ring bonds)
+    assert not any(b.aromatic for b in lib.get("H2U").bonds)
+
+    # 7-methylguanosine: methyl on N7, formal + charge
+    mg = lib.get("7MG")
+    assert mg.atoms["CM7"].parent == "N7"
+    assert mg.atoms["N7"].charge == 1
+
+    # inosine = guanosine minus the exocyclic N2
+    assert "N2" not in lib.get("I").atoms and "O6" in lib.get("I").atoms
+
+    # pyroglutamate ring closure N-CD
+    pca_bonds = {frozenset((b.a, b.b)) for b in lib.get("PCA").bonds}
+    assert frozenset(("N", "CD")) in pca_bonds
+
+    # topology + featurizer run on a modified entry
+    raw = lib._raw["MSE"]
+    topo = get_topology(raw)
+    assert (topo["bondlen"] > 1.0).all()
+    f1d = MolFeaturizer().features_1d(raw)
+    assert f1d.shape[0] == len(raw["atoms"])
+
+
+def test_cif_parse_with_modified_residues(tmp_path):
+    """A structure containing MSE (protein), PSU (RNA) and a free 7MG ligand
+    parses end-to-end with the packaged library: polymer chains keep their
+    modified residues' atoms, and the ligand resolves with full topology."""
+    struct = _write(tmp_path, "modx.cif", MODIFIED_STRUCTURE_CIF)
+    parser = CIFParser(residue_library=ResidueLibrary.standard())
+    chains, asmb, covale, meta = parser.parse(struct)
+
+    assert chains["A"].type == "polypeptide(L)"
+    assert chains["B"].type == "polyribonucleotide"
+    assert chains["C"].type == "nonpoly"
+
+    mse_atoms = {an for (_c, _n, rn, an) in chains["A"].atoms if rn == "MSE"}
+    assert "SE" in mse_atoms
+    psu_atoms = {an for (_c, _n, rn, an) in chains["B"].atoms if rn == "PSU"}
+    assert psu_atoms >= {"C5", "N1"}
+
+    ligands = parser.ligand_residues(chains)
+    key = next(k for k in ligands if k[2] == "7MG")
+    assert ligands[key].atoms["CM7"].parent == "N7"
