@@ -9,7 +9,8 @@ an unpopulated slot is masked to zero before the projection, so the dense
 18x18 computation wastes 75-92% of its FLOPs and transcendentals.
 
 This kernel partitions the 18 atom slots into the protein block P (5) and the
-nucleic block N (13), giving four specialized atom-pair blocks:
+nucleic block N (13) — the host permutes atom columns so each block is a
+contiguous slice — giving four specialized atom-pair blocks:
 
     0: P-query x P-neighbor   ->  5x5x16  =  400-dim block
     1: P x N                  ->  5x13x16 = 1040
@@ -18,21 +19,32 @@ nucleic block N (13), giving four specialized atom-pair blocks:
     4: fallback (mixed)       -> all four blocks summed (== dense, exactly)
 
 Specialization is *opportunistic per tile*: edges stay in their natural
-(query-major) order, and a tile of EDGE_TILE consecutive edges runs a
+(query-major) order and a tile of EDGE_TILE consecutive edges runs a
 specialized branch iff every edge in it has the same endpoint class pair —
-else it takes the dense fallback. The classification happens *inside the
-kernel* from the atom-mask operands already resident in VMEM (two tiny 0/1
-matmuls + a min/max reduce), so the host-side call is byte-identical to the
-dense kernel's: no sort, no permutation, no extra XLA ops. (Two earlier
-designs — globally sorting edges by group, and computing per-tile group ids
-in XLA with scalar prefetch — both spent more wall-clock on their unfusable
-index ops than the specialization saved.) Because chains are contiguous and
-the K neighbors of a residue are spatially local, the vast majority of tiles
-are pure: only class-interface tiles pay the dense fallback. Pure tiles cost
-their block's rows instead of 5184 — a ~4x FLOP cut on a 50/50 protein/NA
-batch, up to ~13x on pure-protein regions — with *exactly* the dense
-semantics (the four blocks partition the 18x18 pair grid, and the atom masks
-already zero the dropped pairs in the dense formulation).
+else it takes the dense fallback. Classification happens inside the kernel
+from the atom masks already resident in VMEM (slice max-reduces). Because
+chains are contiguous and the K neighbors of a residue are spatially local,
+the vast majority of tiles are pure; only class-interface tiles pay the
+fallback. (Two earlier designs — globally sorting edges by group, and
+computing per-tile group ids in XLA with scalar prefetch — both spent more
+wall-clock on their unfusable index ops than the specialization saved.)
+
+v2 (round 4): the pair-grid expansion is pure VPU. The v1 kernel built each
+block's [T, Aq*An] distance grid with eight [T,18] @ [18,Aq*An] 0/1
+"expansion" matmuls at fp32-HIGHEST (6 MXU passes each) — ~2.3x the MXU
+occupancy of the useful projection matmul itself. Now the host permutes
+atoms into block-contiguous order, queries arrive at node granularity
+(EDGE_TILE/K rows — no host-side repeat), and the kernel broadcasts one
+query column against a neighbor slice per pair row: zero matmuls outside
+the projection. Masking rides the distance itself (masked pairs get
+D=DIST_CAP, where every bin underflows to exactly 0.0f — identical to the
+post-hoc mask multiply for finite coordinates). The bf16 path also
+replaces the 16-exp bin loop with a two-sided geometric recursion
+(3 exps + 1 reciprocal): f_r = f_0 * g^r * c_r walked up from bin 0 and
+down from bin 15, taking the max — each side only underflows where the
+other is exact, and the recursion's worst-case ~1e-4 relative error is
+far below bf16's 2^-8 resolution. The fp32/interpret path keeps the exact
+per-bin exp formulation for oracle parity.
 
 Differentiable w.r.t. the projection weights only (coordinates and masks are
 structural data with zero cotangents, matching ops.rbf_edge).
@@ -41,13 +53,11 @@ Negative result (measured, do not re-attempt): building the per-edge
 coordinate/mask operands *inside* the kernel from VMEM-resident node tables
 via one-hot selection matmuls (the design that wins in ops.message_kernels)
 LOSES here — 10.1 ms vs 6.1 ms for the dense-operand path at B=8, L=768,
-K=32, same process, interleaved (A/B harness + table kernel live at git
-history commit 02e0417; removed once the result was in). The selected
-operand is only 4A=72+18 columns wide, so the [TILE, L] @ [L, 4A] selection
-matmuls (~27 GFLOP/fwd, fp32-HIGHEST because the table holds raw
-coordinates) cost far more than the ~70 MB HBM gather they replace. The
-message kernels win the same trade because their tables are H/3H columns
-wide, already bf16, and each tile's message MLP dwarfs the selection.
+K=32, same process, interleaved. The selected operand is only ~90 columns
+wide, so the [TILE, L] @ [L, 4A] selection matmuls cost far more than the
+HBM gather they replace. The message kernels win the same trade because
+their tables are H/3H columns wide, already bf16, and each tile's message
+MLP dwarfs the selection.
 """
 from __future__ import annotations
 
@@ -66,11 +76,26 @@ NUM_RBF = 16
 EDGE_TILE = 256
 
 # Atom-slot partition of the 18-atom augmented frame (constants.BACKBONE_ATOMS
-# + virtual Cb at 16 + virtual base-N at 17).
+# + virtual Cb at 16 + virtual base-N at 17), in REFERENCE atom order.
 P_SEL = (0, 1, 2, 3, 16)                                  # N, CA, C, O, vCb
 N_SEL = (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 17)    # NA backbone + vN
 GROUP_SELS = [(P_SEL, P_SEL), (P_SEL, N_SEL), (N_SEL, P_SEL), (N_SEL, N_SEL)]
 NUM_GROUPS = 5  # 4 specialized + fallback
+
+# Host-side permutation into block-contiguous order: P = cols [0,5),
+# N = cols [5,18). Kernel-side blocks are static slices of this frame.
+PERM = list(P_SEL) + list(N_SEL)
+NP_ = len(P_SEL)
+_SLICES = {id(P_SEL): (0, NP_), id(N_SEL): (NP_, A)}
+GROUP_SLICES = [((0, NP_) if sq is P_SEL else (NP_, A),
+                 (0, NP_) if sn is P_SEL else (NP_, A))
+                for sq, sn in GROUP_SELS]
+
+# Distances are capped here before binning: every RBF bin at DIST_CAP
+# underflows to exactly 0.0f (exp(-((50-22)/1.25)^2) = e^-502 = 0), and all
+# true bins are already exactly 0 for any D >= ~40, so the cap is lossless.
+# Masked pairs are driven to the cap, replacing the post-exp mask multiply.
+DIST_CAP = 50.0
 
 
 def group_rows(num_rbf=NUM_RBF):
@@ -93,47 +118,83 @@ def split_weight_tables(W, num_rbf=NUM_RBF):
     return [jnp.take(W, jnp.asarray(r), axis=0) for r in group_rows(num_rbf)]
 
 
-def _expansion(selq, seln):
-    """0/1 expansion matrices EA/EB [A, Aq*An] built from iota: EA maps the
-    per-atom [T,A] arrays onto the (query, neighbor) pair grid."""
-    Aq, An = len(selq), len(seln)
-    AA = Aq * An
-    row = jax.lax.broadcasted_iota(jnp.int32, (A, AA), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (A, AA), 1)
-    colq = col // An
-    coln = col % An
-    EA = jnp.zeros((A, AA), jnp.float32)
-    EB = jnp.zeros((A, AA), jnp.float32)
-    for s, a in enumerate(selq):
-        EA = EA + ((row == a) & (colq == s)).astype(jnp.float32)
-    for s, b in enumerate(seln):
-        EB = EB + ((row == b) & (coln == s)).astype(jnp.float32)
-    return EA, EB
+def _pair_distances(xi, xj, mi, mj, sq, sn):
+    """Masked pair distances for one block: [T, Aq*An] via VPU broadcasts.
+
+    xi/mi: query rows already repeated to edge granularity [T, 3A]/[T, A]
+    (block-contiguous PERM order); xj/mj: per-edge neighbor rows. Column
+    (q*An + n) holds |xi_atom(q) - xj_atom(n)| for valid pairs, DIST_CAP
+    for masked ones.
+    """
+    q0, q1 = sq
+    n0, n1 = sn
+    parts = []
+    for q in range(q0, q1):
+        d2 = jnp.full((xi.shape[0], n1 - n0), 1e-6, jnp.float32)
+        for c in range(3):
+            d = xi[:, c * A + q][:, None] - xj[:, c * A + n0:c * A + n1]
+            d2 = d2 + d * d
+        m = mi[:, q][:, None] * mj[:, n0:n1]
+        parts.append(jnp.minimum(jnp.sqrt(d2), DIST_CAP)
+                     + (1.0 - m) * DIST_CAP)
+    D = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return jnp.minimum(D, DIST_CAP)
 
 
-def _expand(v, E):
-    # HIGHEST precision: 0/1 gather-pattern matmul on raw coordinates.
-    return jnp.dot(v, E, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+def _bins_exact(D, num_rbf, compute_dtype):
+    """Per-bin exp formulation (fp32/oracle path): list of R [T, AA] blocks.
 
-
-def _rbf_block(xi, xj, mi, mj, selq, seln, num_rbf, compute_dtype):
-    """Masked RBF bins for one atom-pair block: [T, R*Aq*An]."""
-    EA, EB = _expansion(selq, seln)
-    AA = EA.shape[1]
-    D2 = jnp.full((xi.shape[0], AA), 1e-6, jnp.float32)
-    for c in range(3):
-        d = _expand(xi[:, c * A:(c + 1) * A], EA) - _expand(xj[:, c * A:(c + 1) * A], EB)
-        D2 = D2 + d * d
-    D = jnp.sqrt(D2)
-    mask = _expand(mi, EA) * _expand(mj, EB)
+    Blocks stay SEPARATE (no lane concatenation): the projection consumes
+    them as R accumulating matmuls against static r-slices of the weight
+    table. Assembling a [T, R*AA] operand from 13+16 sub-vreg-width pieces
+    cost more vector-register shift-writes than the whole projection
+    (measured: 7.8 ms with assembly vs 3.0 ms with a concat-free stand-in,
+    same process)."""
     sigma = (RBF_D_MAX - RBF_D_MIN) / num_rbf
+    step = (RBF_D_MAX - RBF_D_MIN) / (num_rbf - 1)
     blocks = []
     for r in range(num_rbf):
-        mu_r = RBF_D_MIN + r * (RBF_D_MAX - RBF_D_MIN) / (num_rbf - 1)
-        z = (D - mu_r) * (1.0 / sigma)
-        blocks.append(jnp.exp(-z * z) * mask)
-    return jnp.concatenate(blocks, axis=1).astype(compute_dtype)
+        z = (D - (RBF_D_MIN + r * step)) * (1.0 / sigma)
+        blocks.append(jnp.exp(-z * z).astype(compute_dtype))
+    return blocks
+
+
+def _bins_recursive(D, num_rbf, compute_dtype):
+    """Two-sided geometric recursion (3 exps total): bf16 production path.
+
+    f_r(D) = exp(-((D-mu_0-r*step)/sigma)^2) = f_0 * g^r * exp(-(r*step/sigma)^2)
+    with g = exp(2*(D-mu_0)*step/sigma^2). Walk up from f_0 and down from
+    f_{R-1}; each side underflows only where the other is exact, so
+    max(up, down) is correct everywhere (see module docstring). Returns R
+    separate [T, AA] blocks (see _bins_exact on why no concatenation)."""
+    sigma = (RBF_D_MAX - RBF_D_MIN) / num_rbf
+    step = (RBF_D_MAX - RBF_D_MIN) / (num_rbf - 1)
+    inv_s2 = 1.0 / (sigma * sigma)
+    t0 = D - RBF_D_MIN                      # D - mu_0, in [−?, DIST_CAP]
+    t1 = D - RBF_D_MAX                      # D - mu_{R-1}
+    f_lo = jnp.exp(-(t0 * t0) * inv_s2)
+    f_hi = jnp.exp(-(t1 * t1) * inv_s2)
+    g = jnp.exp((2.0 * step * inv_s2) * t0)  # arg <= 2*48*1.333/1.5625 ≈ 82
+    g_inv = 1.0 / g
+    up, down = [None] * num_rbf, [None] * num_rbf
+    up[0], down[num_rbf - 1] = f_lo, f_hi
+    c = step * step * inv_s2
+    for r in range(1, num_rbf):
+        # f_r = f_{r-1} * g * exp(-(2r-1)c); the down walk mirrors with 1/g
+        up[r] = up[r - 1] * g * np.float32(np.exp(-(2 * r - 1) * c))
+        rr = num_rbf - 1 - r
+        down[rr] = down[rr + 1] * g_inv * np.float32(np.exp((2 * rr + 1) * c))
+    return [jnp.maximum(up[r], down[r]).astype(compute_dtype)
+            for r in range(num_rbf)]
+
+
+def _rbf_block(xi, xj, mi, mj, sq, sn, num_rbf, compute_dtype):
+    """Masked RBF bins for one atom-pair block: R separate [T, Aq*An]
+    arrays (bin-r block of the kernel-order r-major table layout)."""
+    D = _pair_distances(xi, xj, mi, mj, sq, sn)
+    if compute_dtype == jnp.bfloat16:
+        return _bins_recursive(D, num_rbf, compute_dtype)
+    return _bins_exact(D, num_rbf, compute_dtype)
 
 
 def _proj_precision(compute_dtype):
@@ -141,25 +202,21 @@ def _proj_precision(compute_dtype):
             else jax.lax.Precision.HIGHEST)
 
 
+def _rep_edges(a, K):
+    """Node-granular rows [QT, C] -> edge-granular [QT*K, C] (row i copied
+    to rows i*K..): leading-dim broadcast + reshape, no lane movement."""
+    QT, C = a.shape
+    return jnp.broadcast_to(a[:, None, :], (QT, K, C)).reshape(QT * K, C)
+
+
 def _tile_gid(mi, mj):
-    """In-kernel tile classification from the atom masks: per-edge endpoint
-    side codes (0 = P-block only/empty, 1 = N-block only, 2 = mixed), then
-    the tile is (g_lo, pure) where pure means every edge shares group g_lo.
-
-    Group encoding: 0=PP 1=PN 2=NP 3=NN, 4=mixed-side."""
-    p_ind = jnp.zeros((A, 1), jnp.float32)
-    n_ind = jnp.zeros((A, 1), jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
-    for a in P_SEL:
-        p_ind = p_ind + (row == a).astype(jnp.float32)
-    for a in N_SEL:
-        n_ind = n_ind + (row == a).astype(jnp.float32)
-
+    """In-kernel tile classification from the (PERM-ordered) atom masks:
+    per-edge endpoint side codes (0 = P-block only/empty, 1 = N-block only,
+    2 = mixed), then the tile is (g_lo, pure) where pure means every edge
+    shares group g_lo.  Group encoding: 0=PP 1=PN 2=NP 3=NN, 4=mixed-side."""
     def side_code(m):
-        has_p = (jnp.dot(m, p_ind, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST) > 0)
-        has_n = (jnp.dot(m, n_ind, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST) > 0)
+        has_p = jnp.max(m[:, :NP_], axis=1, keepdims=True) > 0
+        has_n = jnp.max(m[:, NP_:], axis=1, keepdims=True) > 0
         return (has_n.astype(jnp.int32)
                 + (has_n & has_p).astype(jnp.int32))          # [T, 1]
 
@@ -171,18 +228,27 @@ def _tile_gid(mi, mj):
     return g_lo, (g_lo == g_hi) & (g_lo < 4)
 
 
-def _fwd_kernel(xi_ref, xj_ref, mi_ref, mj_ref, w0_ref, w1_ref,
-                w2_ref, w3_ref, out_ref, *, num_rbf, compute_dtype):
-    xi, xj, mi, mj = xi_ref[:], xj_ref[:], mi_ref[:], mj_ref[:]
+def _fwd_kernel(xq_ref, xj_ref, mq_ref, mj_ref, w0_ref, w1_ref,
+                w2_ref, w3_ref, out_ref, *, K, num_rbf, compute_dtype):
+    xi = _rep_edges(xq_ref[:], K)
+    mi = _rep_edges(mq_ref[:], K)
+    xj, mj = xj_ref[:], mj_ref[:]
     w_refs = [w0_ref, w1_ref, w2_ref, w3_ref]
     precision = _proj_precision(compute_dtype)
     g_lo, pure = _tile_gid(mi, mj)
 
     def block(g):
-        selq, seln = GROUP_SELS[g]
-        R = _rbf_block(xi, xj, mi, mj, selq, seln, num_rbf, compute_dtype)
-        return jnp.dot(R, w_refs[g][:].astype(compute_dtype),
-                       preferred_element_type=jnp.float32, precision=precision)
+        bins = _rbf_block(xi, xj, mi, mj, *GROUP_SLICES[g], num_rbf,
+                          compute_dtype)
+        AA = bins[0].shape[1]
+        w = w_refs[g]
+        acc = None
+        for r, b in enumerate(bins):
+            p = jnp.dot(b, w[r * AA:(r + 1) * AA].astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+            acc = p if acc is None else acc + p
+        return acc
 
     for g in range(4):
         @pl.when(pure & (g_lo == g))
@@ -196,9 +262,11 @@ def _fwd_kernel(xi_ref, xj_ref, mi_ref, mj_ref, w0_ref, w1_ref,
         out_ref[:] = block(0) + block(1) + block(2) + block(3)
 
 
-def _bwd_kernel(xi_ref, xj_ref, mi_ref, mj_ref, g_ref, dw0_ref,
-                dw1_ref, dw2_ref, dw3_ref, *, num_rbf, compute_dtype):
-    xi, xj, mi, mj = xi_ref[:], xj_ref[:], mi_ref[:], mj_ref[:]
+def _bwd_kernel(xq_ref, xj_ref, mq_ref, mj_ref, g_ref, dw0_ref,
+                dw1_ref, dw2_ref, dw3_ref, *, K, num_rbf, compute_dtype):
+    xi = _rep_edges(xq_ref[:], K)
+    mi = _rep_edges(mq_ref[:], K)
+    xj, mj = xj_ref[:], mj_ref[:]
     dw_refs = [dw0_ref, dw1_ref, dw2_ref, dw3_ref]
     precision = _proj_precision(compute_dtype)
     g_lo, pure = _tile_gid(mi, mj)
@@ -209,12 +277,14 @@ def _bwd_kernel(xi_ref, xj_ref, mi_ref, mj_ref, g_ref, dw0_ref,
             dw[:] = jnp.zeros_like(dw)
 
     def accum(g):
-        selq, seln = GROUP_SELS[g]
-        R = _rbf_block(xi, xj, mi, mj, selq, seln, num_rbf, compute_dtype)
-        dw_refs[g][:] += jax.lax.dot_general(
-            R, g_ref[:].astype(compute_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+        bins = _rbf_block(xi, xj, mi, mj, *GROUP_SLICES[g], num_rbf,
+                          compute_dtype)
+        AA = bins[0].shape[1]
+        gt = g_ref[:].astype(compute_dtype)
+        for r, b in enumerate(bins):
+            dw_refs[g][r * AA:(r + 1) * AA] += jax.lax.dot_general(
+                b, gt, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
 
     for g in range(4):
         @pl.when(pure & (g_lo == g))
@@ -231,82 +301,95 @@ def _table_sizes(num_rbf):
     return [num_rbf * len(sq) * len(sn) for sq, sn in GROUP_SELS]
 
 
-@functools.partial(jax.jit, static_argnames=("num_rbf", "compute_dtype",
+def _tiling(K):
+    """Edges per tile (a multiple of K) and query nodes per tile."""
+    QT = max(1, EDGE_TILE // K)
+    return QT * K, QT
+
+
+@functools.partial(jax.jit, static_argnames=("K", "num_rbf", "compute_dtype",
                                              "interpret"))
-def _classed_fwd(Xi, Xj, Mi, Mj, W0, W1, W2, W3, num_rbf=NUM_RBF,
+def _classed_fwd(Xq, Xj, Mq, Mj, W0, W1, W2, W3, K, num_rbf=NUM_RBF,
                  compute_dtype=jnp.float32, interpret=False):
-    C = Xi.shape[0]
+    C = Xj.shape[0]
     H = W0.shape[1]
-    assert C % EDGE_TILE == 0, C
+    ETILE, QT = _tiling(K)
+    assert C % ETILE == 0, (C, ETILE)
     sizes = _table_sizes(num_rbf)
-    kernel = functools.partial(_fwd_kernel, num_rbf=num_rbf,
+    kernel = functools.partial(_fwd_kernel, K=K, num_rbf=num_rbf,
                                compute_dtype=compute_dtype)
-    edge = lambda c: pl.BlockSpec((EDGE_TILE, c), lambda i: (i, 0),
+    edge = lambda c: pl.BlockSpec((ETILE, c), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    node = lambda c: pl.BlockSpec((QT, c), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     # Average useful FLOPs (assumes ~even group mix; used only for scheduling).
     flops = 2 * C * (sum(sizes) // 2) * H
     return pl.pallas_call(
-        kernel, grid=(C // EDGE_TILE,),
-        in_specs=[edge(3 * A), edge(3 * A), edge(A), edge(A)]
+        kernel, grid=(C // ETILE,),
+        in_specs=[node(3 * A), edge(3 * A), node(A), edge(A)]
         + [pl.BlockSpec((s, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
            for s in sizes],
         out_specs=edge(H),
         out_shape=jax.ShapeDtypeStruct((C, H), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=C * (2 * 3 * A + 2 * A + H) * 4,
+            bytes_accessed=C * (3 * A + A + H) * 4,
             transcendentals=C * sum(sizes) // 2,
         ),
         interpret=interpret,
-    )(Xi, Xj, Mi, Mj, W0, W1, W2, W3)
+    )(Xq, Xj, Mq, Mj, W0, W1, W2, W3)
 
 
-@functools.partial(jax.jit, static_argnames=("num_rbf", "compute_dtype",
+@functools.partial(jax.jit, static_argnames=("K", "num_rbf", "compute_dtype",
                                              "interpret"))
-def _classed_dw(Xi, Xj, Mi, Mj, g, num_rbf=NUM_RBF,
+def _classed_dw(Xq, Xj, Mq, Mj, g, K, num_rbf=NUM_RBF,
                 compute_dtype=jnp.float32, interpret=False):
-    C = Xi.shape[0]
+    C = Xj.shape[0]
     H = g.shape[1]
-    assert C % EDGE_TILE == 0, C
+    ETILE, QT = _tiling(K)
+    assert C % ETILE == 0, (C, ETILE)
     sizes = _table_sizes(num_rbf)
-    kernel = functools.partial(_bwd_kernel, num_rbf=num_rbf,
+    kernel = functools.partial(_bwd_kernel, K=K, num_rbf=num_rbf,
                                compute_dtype=compute_dtype)
-    edge = lambda c: pl.BlockSpec((EDGE_TILE, c), lambda i: (i, 0),
+    edge = lambda c: pl.BlockSpec((ETILE, c), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    node = lambda c: pl.BlockSpec((QT, c), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        kernel, grid=(C // EDGE_TILE,),
-        in_specs=[edge(3 * A), edge(3 * A), edge(A), edge(A), edge(H)],
+        kernel, grid=(C // ETILE,),
+        in_specs=[node(3 * A), edge(3 * A), node(A), edge(A), edge(H)],
         out_specs=[pl.BlockSpec((s, H), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM) for s in sizes],
         out_shape=[jax.ShapeDtypeStruct((s, H), jnp.float32) for s in sizes],
         cost_estimate=pl.CostEstimate(
             flops=2 * C * (sum(sizes) // 2) * H,
-            bytes_accessed=C * (2 * 3 * A + 2 * A + H) * 4,
+            bytes_accessed=C * (3 * A + A + 2 * H) * 4,
             transcendentals=C * sum(sizes) // 2,
         ),
         interpret=interpret,
-    )(Xi, Xj, Mi, Mj, g)
+    )(Xq, Xj, Mq, Mj, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _classed_proj(Xi, Xj, Mi, Mj, W0, W1, W2, W3, compute_dtype, interpret):
-    return _classed_fwd(Xi, Xj, Mi, Mj, W0, W1, W2, W3,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _classed_proj(Xq, Xj, Mq, Mj, W0, W1, W2, W3, K, compute_dtype,
+                  interpret):
+    return _classed_fwd(Xq, Xj, Mq, Mj, W0, W1, W2, W3, K,
                         compute_dtype=compute_dtype, interpret=interpret)
 
 
-def _classed_proj_fwd(Xi, Xj, Mi, Mj, W0, W1, W2, W3, compute_dtype,
+def _classed_proj_fwd(Xq, Xj, Mq, Mj, W0, W1, W2, W3, K, compute_dtype,
                       interpret):
-    out = _classed_proj(Xi, Xj, Mi, Mj, W0, W1, W2, W3, compute_dtype,
+    out = _classed_proj(Xq, Xj, Mq, Mj, W0, W1, W2, W3, K, compute_dtype,
                         interpret)
-    return out, (Xi, Xj, Mi, Mj)
+    return out, (Xq, Xj, Mq, Mj)
 
 
-def _classed_proj_bwd(compute_dtype, interpret, res, g):
-    Xi, Xj, Mi, Mj = res
-    dws = _classed_dw(Xi, Xj, Mi, Mj, g.astype(jnp.float32),
+def _classed_proj_bwd(K, compute_dtype, interpret, res, g):
+    Xq, Xj, Mq, Mj = res
+    dws = _classed_dw(Xq, Xj, Mq, Mj, g.astype(jnp.float32), K,
                       compute_dtype=compute_dtype, interpret=interpret)
-    zeros = (jnp.zeros_like(Xi), jnp.zeros_like(Xj),
-             jnp.zeros_like(Mi), jnp.zeros_like(Mj))
+    zeros = (jnp.zeros_like(Xq), jnp.zeros_like(Xj),
+             jnp.zeros_like(Mq), jnp.zeros_like(Mj))
     return zeros + tuple(dws)
 
 
@@ -317,39 +400,72 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _prep_operands(X_aug_q, X_m_q, X_aug_k, X_m_k, E_idx):
+    """PERM-ordered coordinate planes + masks: queries at node granularity
+    [Bq*Lq(+pad), 3A]/[.., A], neighbors gathered per edge [E(+pad), ..]."""
+    B, Lq = E_idx.shape[:2]
+    K = E_idx.shape[2]
+    ETILE, QT = _tiling(K)
+    E = B * Lq * K
+    Ep = _round_up(E, ETILE)
+    nq_pad = Ep // K - B * Lq
+
+    perm = jnp.asarray(PERM)
+    Xq = X_aug_q[:, :, perm, :]
+    Xk = X_aug_k[:, :, perm, :]
+    Mq = X_m_q[:, :, perm].astype(jnp.float32)
+    Mk = X_m_k[:, :, perm].astype(jnp.float32)
+
+    Xq_planes = jnp.concatenate(
+        [Xq[..., c].astype(jnp.float32) for c in range(3)], axis=-1)
+    Xk_planes = jnp.concatenate(
+        [Xk[..., c].astype(jnp.float32) for c in range(3)], axis=-1)
+    # ONE flat row-gather of the [3A | A]-wide neighbor rows (take_rows
+    # form, models.modules:69-83: take_along_axis with broadcast indices
+    # lowers to an elementwise gather and costs ~4 ms at this shape).
+    Lk = Xk_planes.shape[1]
+    flat = (jnp.arange(B, dtype=jnp.int32)[:, None] * Lk
+            + E_idx.reshape(B, Lq * K)).reshape(-1)
+    XjMj = jnp.take(
+        jnp.concatenate([Xk_planes, Mk], axis=-1).reshape(B * Lk, 4 * A),
+        flat, axis=0, mode="clip")
+    Xj = XjMj[:, :3 * A].reshape(B, Lq * K, 3 * A)
+    Mj = XjMj[:, 3 * A:].reshape(B, Lq * K, A)
+
+    def _pad_nodes(x):
+        x = x.reshape(B * Lq, x.shape[-1])
+        return jnp.pad(x, ((0, nq_pad), (0, 0))) if nq_pad else x
+
+    def _pad_edges(x):
+        x = x.reshape(E, x.shape[-1])
+        return jnp.pad(x, ((0, Ep - E), (0, 0))) if Ep != E else x
+
+    return (_pad_nodes(Xq_planes), _pad_edges(Xj), _pad_nodes(Mq),
+            _pad_edges(Mj), E, K)
+
+
+def _run(X_aug_q, X_m_q, X_aug_k, X_m_k, E_idx, W, compute_dtype, interpret):
+    B, Lq = E_idx.shape[:2]
+    Xq, Xj, Mq, Mj, E, K = _prep_operands(X_aug_q, X_m_q, X_aug_k, X_m_k,
+                                          E_idx)
+    W0, W1, W2, W3 = split_weight_tables(W)
+    sg = jax.lax.stop_gradient
+    out = _classed_proj(
+        sg(Xq), sg(Xj), sg(Mq), sg(Mj),
+        W0.astype(jnp.float32), W1.astype(jnp.float32),
+        W2.astype(jnp.float32), W3.astype(jnp.float32), K, compute_dtype,
+        interpret)
+    return out[:E].reshape(B, Lq, K, -1)
+
+
 def rbf_edge_features_classed_qk(X_aug_q, X_m_q, X_aug_k, X_m_k, E_idx, W,
                                  compute_dtype=jnp.float32, interpret=False):
     """Query/key variant for the edge-partitioned forward: local query rows
     [B,Lq,A,3] against globally-gathered neighbor rows ([B,Lk,A,3] indexed by
     E_idx [B,Lq,K]). Same kernel, same exact semantics."""
-    B, Lq, A_, _ = X_aug_q.shape
-    K = E_idx.shape[2]
-    assert A_ == A, (A_, A)
-    E = B * Lq * K
-    Ep = _round_up(E, EDGE_TILE)
-
-    Xq_planes = jnp.concatenate(
-        [X_aug_q[..., c].astype(jnp.float32) for c in range(3)], axis=-1)
-    Xk_planes = jnp.concatenate(
-        [X_aug_k[..., c].astype(jnp.float32) for c in range(3)], axis=-1)
-    idx = E_idx.reshape(B, Lq * K)
-    Xj = jnp.take_along_axis(Xk_planes, idx[..., None], axis=1)
-    Mj = jnp.take_along_axis(X_m_k.astype(jnp.float32), idx[..., None], axis=1)
-    Xi = jnp.repeat(Xq_planes, K, axis=1)
-    Mi = jnp.repeat(X_m_q.astype(jnp.float32), K, axis=1)
-
-    def _pad(x):
-        x = x.reshape(E, x.shape[-1])
-        return jnp.pad(x, ((0, Ep - E), (0, 0))) if Ep != E else x
-
-    W0, W1, W2, W3 = split_weight_tables(W)
-    sg = jax.lax.stop_gradient
-    out = _classed_proj(
-        sg(_pad(Xi)), sg(_pad(Xj)), sg(_pad(Mi)), sg(_pad(Mj)),
-        W0.astype(jnp.float32), W1.astype(jnp.float32),
-        W2.astype(jnp.float32), W3.astype(jnp.float32), compute_dtype,
-        interpret)
-    return out[:E].reshape(B, Lq, K, -1)
+    assert X_aug_q.shape[2] == A, X_aug_q.shape
+    return _run(X_aug_q, X_m_q, X_aug_k, X_m_k, E_idx, W, compute_dtype,
+                interpret)
 
 
 def rbf_edge_features_classed(X_aug, X_m_aug, E_idx, W,
@@ -359,32 +475,6 @@ def rbf_edge_features_classed(X_aug, X_m_aug, E_idx, W,
     weights -> [B,L,K,H], equal (to fp32 rounding) to ``all_pair_rbf(...) @ W``
     but with per-class-pair FLOPs on class-pure tiles. Differentiable w.r.t.
     W only."""
-    B, L, A_, _ = X_aug.shape
-    K = E_idx.shape[2]
-    assert A_ == A, (A_, A)
-    E = B * L * K
-    Ep = _round_up(E, EDGE_TILE)
-
-    # Edge operand layout identical to the dense kernel (natural order);
-    # tile classification happens inside the kernel from Mi/Mj.
-    X_planes = jnp.concatenate(
-        [X_aug[..., c].astype(jnp.float32) for c in range(3)], axis=-1)
-    M_flat = X_m_aug.astype(jnp.float32)
-    idx = E_idx.reshape(B, L * K)
-    Xj = jnp.take_along_axis(X_planes, idx[..., None], axis=1)
-    Mj = jnp.take_along_axis(M_flat, idx[..., None], axis=1)
-    Xi = jnp.repeat(X_planes, K, axis=1)
-    Mi = jnp.repeat(M_flat, K, axis=1)
-
-    def _pad(x):
-        x = x.reshape(E, x.shape[-1])
-        return jnp.pad(x, ((0, Ep - E), (0, 0))) if Ep != E else x
-
-    W0, W1, W2, W3 = split_weight_tables(W)
-    sg = jax.lax.stop_gradient
-    out = _classed_proj(
-        sg(_pad(Xi)), sg(_pad(Xj)), sg(_pad(Mi)), sg(_pad(Mj)),
-        W0.astype(jnp.float32), W1.astype(jnp.float32),
-        W2.astype(jnp.float32), W3.astype(jnp.float32), compute_dtype,
-        interpret)
-    return out[:E].reshape(B, L, K, -1)
+    assert X_aug.shape[2] == A, X_aug.shape
+    return _run(X_aug, X_m_aug, X_aug, X_m_aug, E_idx, W, compute_dtype,
+                interpret)
