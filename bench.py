@@ -137,6 +137,126 @@ def bench_train_step(cfg, batch):
     return _window_stats(times), cost
 
 
+def bench_step_decomposition(cfg, np_batch, peak_tflops, peak_gbs):
+    """Whole-train-step decomposition, ONE process, interleaved round-robin
+    windows (VERDICT r3 item 2): train-mode forward (noise + dropout),
+    value_and_grad, optimizer update, metrics, the fused device-resident
+    step, and the headline step with its per-step host feed. Returns
+    roofline rows for each plus a DERIVED backward row (valgrad − forward,
+    in both time and cost), so the rows cover the entire step and their
+    provenance is a single process and measurement window."""
+    import jax
+    import jax.numpy as jnp
+    from na_mpnn_tpu.train.losses import mask_for_loss
+    from na_mpnn_tpu.train.trainer import BATCH_KEYS, Trainer
+
+    trainer = Trainer(cfg, seed=0)
+    key = jax.random.PRNGKey(7)
+    dbatch = trainer._device_batch(np_batch)
+    params, opt_state = trainer.params, trainer.opt_state
+
+    def fwd_fn(carry, params, batch):
+        k2 = jax.random.fold_in(key, (carry * 0).astype(jnp.int32))
+        loss, _ = trainer._loss_fn(params, batch, k2)
+        return jnp.sum(loss)
+
+    def vg_fn(carry, params, batch):
+        k2 = jax.random.fold_in(key, (carry * 0).astype(jnp.int32))
+        (loss, _), grads = jax.value_and_grad(
+            trainer._loss_fn, has_aux=True)(params, batch, k2)
+        extra = sum(jnp.sum(g) * 0.0 for g in jax.tree.leaves(grads))
+        return jnp.sum(loss) + extra
+
+    grads_const = jax.tree.map(jnp.ones_like, params)
+
+    def opt_fn(carry, grads, opt_state, params):
+        g = jax.tree.map(lambda x: x + carry * 0.0, grads)
+        updates, _ = trainer.optimizer.update(g, opt_state, params)
+        return sum(jnp.sum(u) * 0.0 for u in jax.tree.leaves(updates)) + carry * 0.0
+
+    lp0 = jnp.zeros(np_batch["S"].shape + (cfg.num_letters,), jnp.float32)
+    mfl = mask_for_loss(dbatch["S"], dbatch["mask"], True).astype(jnp.float32)
+
+    def met_fn(carry, lp, batch):
+        m = trainer._metrics_from_logprobs(batch, lp + carry * 0.0, mfl)
+        return jnp.sum(m["loss_per_token"]) + jnp.sum(m["accuracy"]) * 0.0
+
+    stages = {
+        "train_forward": (fwd_fn, (params, dbatch), 10),
+        "train_valgrad": (vg_fn, (params, dbatch), 8),
+        "optimizer": (opt_fn, (grads_const, opt_state, params), 20),
+        "metrics": (met_fn, (lp0, dbatch), 20),
+    }
+    jitted, carries, times = {}, {}, {k: [] for k in stages}
+    times["device_step"] = []
+    for name, (fn, args, _n) in stages.items():
+        jitted[name] = jax.jit(fn)
+        carries[name] = jitted[name](jnp.float32(0.0), *args)
+        assert np.isfinite(float(carries[name]))
+    # compile the fused device step on COPIES: _train_step donates its
+    # params/opt_state buffers, and the other stages keep using the
+    # originals.
+    import jax.numpy as _jnp
+    p = jax.tree.map(_jnp.copy, params)
+    o = jax.tree.map(_jnp.copy, opt_state)
+    p, o, m = trainer._train_step(p, o, dbatch, key)
+    assert np.isfinite(float(m["loss_av"]))
+
+    for w in range(N_WINDOWS):
+        for name, (fn, args, n_iter) in stages.items():
+            c = carries[name]
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                c = jitted[name](c, *args)
+            assert np.isfinite(float(c))
+            times[name].append((time.perf_counter() - t0) / n_iter)
+            carries[name] = c
+        t0 = time.perf_counter()
+        for i in range(10):
+            p, o, m = trainer._train_step(p, o, dbatch,
+                                          jax.random.fold_in(key, 97 * w + i))
+        assert np.isfinite(float(m["loss_av"]))
+        times["device_step"].append((time.perf_counter() - t0) / 10)
+
+    secs = {k: _window_stats(v)["min"] for k, v in times.items()}
+    costs = {
+        "train_forward": _cost_analysis(jitted["train_forward"],
+                                        jnp.float32(0.0), params, dbatch),
+        "train_valgrad": _cost_analysis(jitted["train_valgrad"],
+                                        jnp.float32(0.0), params, dbatch),
+        "optimizer": _cost_analysis(jitted["optimizer"], jnp.float32(0.0),
+                                    grads_const, opt_state, params),
+        "metrics": _cost_analysis(jitted["metrics"], jnp.float32(0.0), lp0,
+                                  dbatch),
+    }
+    rows = {}
+    for name, s in secs.items():
+        flops, bytes_ = costs.get(name, (None, None))
+        rows[name] = _roofline_row(name, s, flops, bytes_, peak_tflops,
+                                   peak_gbs)
+    # Derived backward = valgrad − forward (time and cost are both
+    # differences of same-process, same-window measurements).
+    bwd_s = max(secs["train_valgrad"] - secs["train_forward"], 1e-9)
+    f_fw, b_fw = costs["train_forward"]
+    f_vg, b_vg = costs["train_valgrad"]
+    if f_fw is not None and f_vg is not None:
+        rows["backward_derived"] = _roofline_row(
+            "backward_derived", bwd_s, f_vg - f_fw, b_vg - b_fw,
+            peak_tflops, peak_gbs)
+    else:
+        rows["backward_derived"] = {"ms": float(f"{bwd_s * 1e3:.4g}")}
+    rows["device_step"] = {"ms": float(f"{secs['device_step'] * 1e3:.4g}")}
+    # Coverage: valgrad + optimizer + metrics vs the fused device step.
+    covered = secs["train_valgrad"] + secs["optimizer"] + secs["metrics"]
+    rows["coverage"] = {
+        "sum_ms": float(f"{covered * 1e3:.4g}"),
+        "device_step_ms": float(f"{secs['device_step'] * 1e3:.4g}"),
+        "pct_of_device_step": float(
+            f"{100.0 * covered / secs['device_step']:.4g}"),
+    }
+    return rows
+
+
 def bench_forward(cfg, params, batch):
     import jax.numpy as jnp
     from na_mpnn_tpu.models import forward
@@ -503,6 +623,13 @@ def main():
     if train_cost and train_cost[0] is not None:
         extra["roofline_train_step"] = _roofline_row(
             "train_step", train_s, train_cost[0], train_cost[1], peak, peak_bw)
+    # Whole-step decomposition + rooflines, one process (VERDICT r3 item 2).
+    extra["step_decomposition"] = bench_step_decomposition(
+        train_cfg, np_batch, peak, peak_bw)
+    dev_ms = extra["step_decomposition"]["device_step"]["ms"]
+    extra["train_step_device_ms"] = dev_ms
+    extra["train_edges_per_s_device"] = float(f"{edges / (dev_ms / 1e3):.6g}")
+
     fwd_s = bench_forward(fwd_cfg, params, batch)
     extra["forward_edges_per_s"] = float(f"{edges / fwd_s:.6g}")
     extra.update(bench_stages(fwd_cfg, params, batch,

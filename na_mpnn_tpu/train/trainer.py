@@ -113,6 +113,8 @@ class Trainer:
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
+        # Packed-feed variants keyed by batch layout (one per shape bucket).
+        self._packed_steps = {}
 
     # -- loss ------------------------------------------------------------
 
@@ -181,10 +183,95 @@ class Trainer:
             return {k: jax.device_put(v, self.batch_sharding) for k, v in arrays.items()}
         return {k: jnp.asarray(v) for k, v in arrays.items()}
 
+    # -- packed feed -------------------------------------------------------
+    # The relay pays a fixed enqueue/transfer latency PER ARRAY; feeding the
+    # ~17 batch arrays separately cost ~18 ms/step at the 6000-token shape
+    # (measured round 4: 73.3 ms with feed vs 55.3 ms device-resident).
+    # Packing the whole batch into ONE uint8 buffer host-side (a ~3 MB
+    # memcpy) and bitcasting it back inside the jitted step collapses that
+    # to a single transfer.
+
+    @staticmethod
+    def _pack_np_batch(np_batch):
+        """(packed uint8 [N], static layout) for one host->device transfer.
+
+        The tunnel's H2D path is bandwidth-bound (~170 MB/s measured) and
+        does not overlap device execution, so feed cost is proportional to
+        bytes. Three lossless reductions: int64/float64/bool normalize to
+        their 4-byte types (the same narrowing jnp.asarray applies under
+        default x64-disabled mode); integer arrays narrow to the smallest
+        of uint8/int16/int32 that holds their range exactly; all-zero
+        arrays (e.g. aligned_ppm when no PPMs are attached — 0.8 MB of
+        zeros per 6000-token batch) are not transferred at all and
+        materialize as jnp.zeros on device. The layout is static per
+        (shape, dtype, zero/width) signature — one compile per bucket."""
+        parts, layout, off = [], [], 0
+        norm = {np.dtype(np.int64): np.int32, np.dtype(np.float64): np.float32,
+                np.dtype(np.bool_): np.int32}
+        for k in BATCH_KEYS:
+            if k not in np_batch:
+                continue
+            a = np.asarray(np_batch[k])
+            a = a.astype(norm.get(a.dtype, a.dtype), copy=False)
+            assert a.dtype.itemsize == 4, (k, a.dtype)
+            if not a.any():
+                layout.append((k, a.dtype.name, a.shape, "zero", 0, 0))
+                continue
+            wire = a
+            if a.dtype == np.int32:
+                lo, hi = int(a.min()), int(a.max())
+                if 0 <= lo and hi <= 255:
+                    wire = a.astype(np.uint8)
+                elif -32768 <= lo and hi <= 32767:
+                    wire = a.astype(np.int16)
+            b = np.ascontiguousarray(wire).view(np.uint8).reshape(-1)
+            layout.append((k, a.dtype.name, a.shape, wire.dtype.name, off,
+                           b.size))
+            parts.append(b)
+            off += b.size
+        return (np.concatenate(parts) if parts
+                else np.zeros((1,), np.uint8)), tuple(layout)
+
+    @staticmethod
+    def _unpack_batch(packed, layout):
+        out = {}
+        for k, dtype_name, shape, wire, off, size in layout:
+            if wire == "zero":
+                out[k] = jnp.zeros(shape, jnp.dtype(dtype_name))
+                continue
+            seg = jax.lax.slice(packed, (off,), (off + size,))
+            wdt = np.dtype(wire)
+            if wdt.itemsize == 1:
+                val = seg
+            else:
+                val = jax.lax.bitcast_convert_type(
+                    seg.reshape(-1, wdt.itemsize), jnp.dtype(wire))
+            out[k] = val.reshape(shape).astype(jnp.dtype(dtype_name))
+        return out
+
+    def _packed_step_fn(self, layout):
+        fn = self._packed_steps.get(layout)
+        if fn is None:
+            def impl(params, opt_state, packed, key):
+                batch = self._unpack_batch(packed, layout)
+                return self._train_step_impl(params, opt_state, batch, key)
+
+            fn = jax.jit(impl, donate_argnums=(0, 1))
+            self._packed_steps[layout] = fn
+        return fn
+
     def train_step(self, np_batch, key):
-        batch = self._device_batch(np_batch)
-        self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, batch, key)
+        arrays = {k: np_batch[k] for k in BATCH_KEYS if k in np_batch}
+        if (self.batch_sharding is None
+                and not any(isinstance(v, jax.Array) for v in arrays.values())):
+            packed, layout = self._pack_np_batch(arrays)
+            fn = self._packed_step_fn(layout)
+            self.params, self.opt_state, metrics = fn(
+                self.params, self.opt_state, jnp.asarray(packed), key)
+        else:
+            batch = self._device_batch(np_batch)
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, batch, key)
         self.step += 1
         return metrics
 
@@ -367,7 +454,8 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
     use_interface = p["METRICS_TO_COMPUTE"] == "all"
 
     total_steps = steps_override or p["TOTAL_STEPS"]
-    key = jax.random.PRNGKey(p.get("SEED", 0))
+    seed = int(p.get("SEED", 0))
+    base_key = jax.random.PRNGKey(seed)
     # Optional profiler capture of the first train batches (config key
     # PROFILE_DIR or env NA_MPNN_PROFILE_DIR) — SURVEY §5 tracing.
     profile_state = {"dir": p.get("PROFILE_DIR")
@@ -394,12 +482,22 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
     while True:
         metric_manager.zero_metrics()
         t0 = time.time()
+        # Every per-epoch random stream (device noise/dropout keys, cluster
+        # sampling, batch order) is a deterministic function of (seed,
+        # epoch), so a run restored from the epoch-boundary checkpoint
+        # replays the interrupted epoch EXACTLY — the preemption-resume
+        # contract (role of reference na_run.py:94-117,339-353).
+        key = jax.random.fold_in(base_key, epoch)
 
         def run_split(df, max_pdbs, split):
             nonlocal key
+            split_rng = np.random.RandomState(
+                (seed * 1000003 + epoch * 31 + (0 if split == "train" else 1))
+                % (2 ** 31))
             batch_iter = make_batch_iter(
                 df, p["BATCH_TOKENS"], p["MIN_PROTEIN_LENGTH_CUTOFF"],
-                date_cutoff, bool(p["CROP_LARGE_STRUCTURES"]), max_pdbs)
+                date_cutoff, bool(p["CROP_LARGE_STRUCTURES"]), max_pdbs,
+                rng=split_rng)
             loader = get_loader(split, batch_iter)
             for np_batch in loader:
                 if use_interface:

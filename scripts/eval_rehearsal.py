@@ -1,0 +1,301 @@
+"""Eval dress rehearsal: drive the full RNA-monomer design protocol AND the
+protein-DNA specificity protocol end-to-end from the CLI on the two
+reference example PDBs, through design/predict -> process -> score ->
+aggregation + logo figures, committing outputs under
+artifacts/eval_rehearsal/ (VERDICT r3 item 8; reference protocol:
+evaluation/evaluation_cmds.txt:110-198).
+
+What is REAL here: the model (checkpoint -> sampler on the default
+backend), both parsers, every harness CLI entry point
+(``python -m na_mpnn_tpu.eval.harness --function_name ...`` — each step a
+separate subprocess, exactly as the Slurm array scripts invoke it), the
+first-party scoring math, the visualize aggregation/figures.
+
+What is MOCKED (and only this): the third-party executables the reference
+also shells out to — DSSR, EternaFold, RibonanzaNet, AlphaFold3 — which are
+not installable in this offline image. Mocks are installed at the
+documented seam (na_mpnn_tpu.eval.external.run_*) inside each harness
+subprocess via this script's ``harness-shim`` mode; their return shapes
+match the real parsers' (tests/test_eval_monomer_rna.py pins those shapes
+against the reference's output contracts).
+
+Run:  python scripts/eval_rehearsal.py [--out artifacts/eval_rehearsal]
+"""
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = "/root/reference/inference/examples"
+SELF = os.path.abspath(__file__)
+
+
+# ---------------------------------------------------------------------------
+# harness-shim mode: install external-tool mocks, then run the real CLI
+# ---------------------------------------------------------------------------
+
+def _dummy_ss(n):
+    """Deterministic plausible secondary structure: a hairpin when long
+    enough, else unpaired."""
+    if n >= 12:
+        stem = min(4, (n - 4) // 2)
+        return "(" * stem + "." * (n - 2 * stem) + ")" * stem
+    return "." * n
+
+
+def install_mocks():
+    from na_mpnn_tpu.eval import external
+
+    def run_dssr(structure_path, dssr_binary="x3dna-dssr"):
+        from na_mpnn_tpu.data.pdb import parse_pdb
+        from na_mpnn_tpu import constants
+        p = parse_pdb(structure_path, parse_protein=False, parse_dna=False,
+                      parse_rna=True)
+        table = {v: k for k, v in
+                 constants.restype_to_int_table(True).items()}
+        seq = "".join(table[int(s)][-1] for s in np.asarray(p["S"]).ravel())
+        return {"sequence": seq, "secondary_structure": _dummy_ss(len(seq))}
+
+    def run_eternafold(sequence, eternafold_binary="eternafold"):
+        return {"predicted_secondary_structure": _dummy_ss(len(sequence))}
+
+    def run_rnn_ss(sequence, batch_size=1):
+        ss = _dummy_ss(len(sequence))
+        return {"predicted_secondary_structures": [ss, ss]}
+
+    def run_rnn_react(sequence, batch_size=1):
+        ss = _dummy_ss(len(sequence))
+        prof = [float(c == ".") for c in ss]
+        return {"predicted_2A3_reactivity_profiles": [prof],
+                "predicted_DMS_reactivity_profiles": [[0.1] * len(ss)]}
+
+    def run_alphafold3(name, sequence, output_directory, af3_cmd=None):
+        path = os.path.join(output_directory, f"{name}_af3.pdb")
+        lines, serial = [], 1
+        for i in range(len(sequence)):
+            x, y, z = np.cos(i * 0.6) * 9, np.sin(i * 0.6) * 9, i * 2.8
+            lines.append(
+                f"ATOM  {serial:5d}  C1'   G A{i + 1:4d}    "
+                f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C")
+            serial += 1
+        open(path, "w").write("\n".join(lines) + "\nEND\n")
+        return {"predicted_structure_path": path, "ptm": 0.82, "pae": 4.1,
+                "plddt": 78.0}
+
+    external.run_dssr = run_dssr
+    external.run_eternafold = run_eternafold
+    external.run_ribonanza_net_secondary_structure = run_rnn_ss
+    external.run_ribonanza_net_reactivity_profile = run_rnn_react
+    external.run_alphafold3 = run_alphafold3
+
+
+def harness_shim(argv):
+    sys.path.insert(0, REPO)
+    install_mocks()
+    from na_mpnn_tpu.eval import harness
+    harness.main(argv)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def run_harness(*args):
+    cmd = [sys.executable, SELF, "harness-shim"] + [str(a) for a in args]
+    print("+", " ".join(cmd[2:]), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def run_cli(mod, *args):
+    cmd = [sys.executable, "-m", mod] + [str(a) for a in args]
+    print("+", " ".join(cmd[1:]), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def make_checkpoint(path):
+    import jax
+    from na_mpnn_tpu.models import ModelConfig, init_params
+    from na_mpnn_tpu.train.checkpoint import save_checkpoint_npz
+    params = init_params(jax.random.PRNGKey(0), ModelConfig())
+    save_checkpoint_npz(path, params, meta={"step": 0})
+
+
+def write_synthetic_rna_monomer(path, n=24, seed=3):
+    """All-atom-free RNA monomer (C1' trace) — an RNA-only structure for the
+    monomer protocol leg (the reference's design_rna_monomer_test set is
+    RNA monomers; the example PDBs are protein-NA complexes)."""
+    rng = np.random.RandomState(seed)
+    lines, serial = [], 1
+    letters = "ACGU"
+    for i in range(n):
+        x, y, z = np.cos(i * 0.55) * 9.2, np.sin(i * 0.55) * 9.2, i * 2.9
+        res = letters[int(rng.randint(4))]
+        for name, off in (("P", (0.2, 0.1, -0.4)), ("C1'", (0, 0, 0)),
+                          ("N1" if res in "CU" else "N9", (0.9, 0.6, 0.3))):
+            pad = f"{name:<4}"
+            lines.append(
+                f"ATOM  {serial:5d} {pad} {res:>3} A{i + 1:4d}    "
+                f"{x + off[0]:8.3f}{y + off[1]:8.3f}{z + off[2]:8.3f}"
+                f"  1.00  0.00           {name[0]}")
+            serial += 1
+    open(path, "w").write("\n".join(lines) + "\nEND\n")
+
+
+def write_experimental_ppm(path, n=10, seed=5):
+    import pandas as pd
+    rng = np.random.RandomState(seed)
+    raw = rng.dirichlet(np.ones(4) * 2.0, size=n)
+    pd.DataFrame(raw, columns=["A", "C", "G", "T"]).to_csv(path, index=False)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/eval_rehearsal")
+    ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
+                                                  "eval_rehearsal"))
+    ap.add_argument("--num_samples", type=int, default=3)
+    args = ap.parse_args()
+
+    root = args.root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    ckpt = os.path.join(root, "model.npz")
+    make_checkpoint(ckpt)
+
+    # --- inputs: the two reference examples + one RNA monomer -------------
+    rna_monomer = os.path.join(root, "rna_mono.pdb")
+    write_synthetic_rna_monomer(rna_monomer)
+    design_csv = os.path.join(root, "design_test.csv")
+    with open(design_csv, "w") as f:
+        f.write("structure_path\n")
+        f.write(f"{EXAMPLES}/4oqu.pdb\n{EXAMPLES}/1am9.pdb\n{rna_monomer}\n")
+    monomer_csv = os.path.join(root, "design_rna_monomer_test.csv")
+    with open(monomer_csv, "w") as f:
+        f.write(f"structure_path\n{rna_monomer}\n")
+    ppm_path = os.path.join(root, "exp_ppm_1am9.csv")
+    write_experimental_ppm(ppm_path)
+    spec_csv = os.path.join(root, "specificity_test.csv")
+    with open(spec_csv, "w") as f:
+        f.write("structure_path,ppm_paths\n")
+        f.write(f"{EXAMPLES}/1am9.pdb,\"[['{ppm_path}']]\"\n")
+
+    outd = os.path.join(root, "evaluation_outputs")
+
+    # --- RNA design protocol (evaluation_cmds.txt:104-147) -----------------
+    for struct in (f"{EXAMPLES}/4oqu.pdb", f"{EXAMPLES}/1am9.pdb",
+                   rna_monomer):
+        run_harness("--function_name", "design_nucleic_acid_sequence",
+                    "--structure_path", struct,
+                    "--overall_output_directory", f"{outd}/design_test/na_mpnn",
+                    "--num_samples", args.num_samples,
+                    "--method", "na_mpnn",
+                    "--na_mpnn_model_path", ckpt)
+
+    # --- RNA monomer process/score leg (evaluation_cmds.txt:148-178) -------
+    run_harness("--function_name", "design_nucleic_acid_sequence",
+                "--structure_path", rna_monomer,
+                "--overall_output_directory",
+                f"{outd}/design_rna_monomer_test/na_mpnn",
+                "--num_samples", args.num_samples,
+                "--method", "na_mpnn", "--na_mpnn_model_path", ckpt,
+                "--temperature", 0.5)
+    run_harness("--function_name", "process_reference_monomer_rna",
+                "--reference_structure_path", rna_monomer,
+                "--overall_output_directory",
+                f"{outd}/design_rna_monomer_test_natives")
+    for dj in sorted(glob.glob(
+            f"{outd}/design_rna_monomer_test/na_mpnn/*/design_json/*.json")):
+        run_harness("--function_name", "process_design_monomer_rna",
+                    "--subject_path", dj,
+                    "--overall_output_directory",
+                    f"{outd}/design_rna_monomer_test_processed/na_mpnn")
+    name = os.path.splitext(os.path.basename(rna_monomer))[0]
+    ref_json = f"{outd}/design_rna_monomer_test_natives/{name}/reference_json/{name}.json"
+    for pj in sorted(glob.glob(
+            f"{outd}/design_rna_monomer_test_processed/na_mpnn/*/"
+            "processed_design_json/*.json")):
+        run_harness("--function_name", "score_design_monomer_rna",
+                    "--reference_path", ref_json,
+                    "--subject_path", pj,
+                    "--overall_output_directory",
+                    f"{outd}/design_rna_monomer_test_scores/na_mpnn")
+
+    # --- specificity protocol (evaluation_cmds.txt:179-198) ----------------
+    run_harness("--function_name", "predict_nucleic_acid_ppm",
+                "--structure_path", f"{EXAMPLES}/1am9.pdb",
+                "--overall_output_directory", f"{outd}/specificity_test/na_mpnn",
+                "--num_samples", 8, "--method", "na_mpnn",
+                "--na_mpnn_model_path", ckpt)
+    subj = f"{outd}/specificity_test/na_mpnn/1am9/specificity_json/1am9.json"
+    run_harness("--function_name", "score_specificity_prediction",
+                "--reference_ppms_list_str", f"[['{ppm_path}']]",
+                "--subject_path", subj,
+                "--overall_output_directory",
+                f"{outd}/specificity_test_scores/na_mpnn")
+
+    # --- aggregation + figures (visualize CLI) -----------------------------
+    os.makedirs(args.out, exist_ok=True)
+    run_cli("na_mpnn_tpu.eval.visualize", "aggregate",
+            f"{outd}/design_rna_monomer_test_scores/na_mpnn/*/*.json",
+            os.path.join(args.out, "monomer_scores.csv"))
+    run_cli("na_mpnn_tpu.eval.visualize", "summarize",
+            f"{outd}/design_rna_monomer_test_scores/na_mpnn/*/*.json",
+            os.path.join(args.out, "monomer_summary.csv"))
+    run_cli("na_mpnn_tpu.eval.visualize", "aggregate",
+            f"{outd}/specificity_test_scores/na_mpnn/*/*.json",
+            os.path.join(args.out, "specificity_scores.csv"))
+    # logo comparison: predicted PPM logo from the specificity stats
+    subj_d = json.load(open(subj))
+    npz_path = os.path.join(root, "1am9_spec.npz")
+    np.savez(npz_path,
+             predicted_ppm=np.asarray(subj_d["predicted_ppm_na_mpnn_format"]),
+             dna_mask=np.asarray(subj_d["dna_mask"]),
+             rna_mask=np.asarray(subj_d["rna_mask"]))
+    run_cli("na_mpnn_tpu.eval.visualize", "logo", npz_path,
+            os.path.join(args.out, "1am9_predicted_logo.png"))
+
+    # --- copy protocol outputs + manifest -----------------------------------
+    copied = []
+    for pat, dst in [
+        (f"{outd}/design_test/na_mpnn/*/design_json/*.json", "design_json"),
+        (f"{outd}/design_rna_monomer_test_scores/na_mpnn/*/*.json",
+         "monomer_score_json"),
+        (f"{outd}/specificity_test_scores/na_mpnn/*/*.json",
+         "specificity_score_json"),
+    ]:
+        ddir = os.path.join(args.out, dst)
+        os.makedirs(ddir, exist_ok=True)
+        for p in sorted(glob.glob(pat)):
+            shutil.copy(p, ddir)
+            copied.append(os.path.join(dst, os.path.basename(p)))
+
+    manifest = {
+        "protocols": ["rna_design", "rna_monomer_process_score",
+                      "protein_dna_specificity"],
+        "structures": ["4oqu.pdb", "1am9.pdb", "rna_mono.pdb (synthetic)"],
+        "mocked_externals": ["dssr", "eternafold", "ribonanza_net",
+                             "alphafold3"],
+        "real": ["na_mpnn model + sampler", "both parsers",
+                 "harness CLI subprocess per step", "scoring math",
+                 "visualize aggregation/logos"],
+        "checkpoint": "random init (plumbing rehearsal, not a trained model)",
+        "files": copied + ["monomer_scores.csv", "monomer_summary.csv",
+                           "specificity_scores.csv",
+                           "1am9_predicted_logo.png"],
+    }
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(json.dumps(manifest, indent=2))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "harness-shim":
+        harness_shim(sys.argv[2:])
+    else:
+        main()
