@@ -131,25 +131,28 @@ class Trainer:
         mfl = mfl.astype(jnp.float32)
         polymer_masks = {"protein": batch["protein_mask"],
                          "dna": batch["dna_mask"], "rna": batch["rna_mask"]}
-        _, loss_av = loss_smoothed(
+        loss_per_token, loss_av = loss_smoothed(
             batch["S"], log_probs, mfl, polymer_masks, self.restype_masks,
             weight=self.label_smoothing, tokens=self.loss_tokens,
             num_letters=self.cfg.num_letters,
             ppm_mask=batch["ppm_mask"], aligned_ppm=batch["aligned_ppm"])
-        return loss_av, (log_probs, mfl)
+        return loss_av, (log_probs, mfl, loss_per_token)
 
-    def _metrics_from_logprobs(self, batch, log_probs, mfl):
+    def _metrics_from_logprobs(self, batch, log_probs, mfl,
+                               loss_per_token=None):
         _, _, true_false = loss_nll(batch["S"], log_probs, mfl)
         cbp_acc = compute_canonical_base_pair_accuracy(
             log_probs, batch["canonical_base_pair_mask"],
             batch["canonical_base_pair_index"], self.na_shared_tokens)
-        polymer_masks = {"protein": batch["protein_mask"],
-                         "dna": batch["dna_mask"], "rna": batch["rna_mask"]}
-        loss_metric, _ = loss_smoothed(
-            batch["S"], log_probs, mfl, polymer_masks, self.restype_masks,
-            weight=self.label_smoothing, tokens=self.loss_tokens,
-            num_letters=self.cfg.num_letters,
-            ppm_mask=batch["ppm_mask"], aligned_ppm=batch["aligned_ppm"])
+        if loss_per_token is None:
+            polymer_masks = {"protein": batch["protein_mask"],
+                             "dna": batch["dna_mask"], "rna": batch["rna_mask"]}
+            loss_per_token, _ = loss_smoothed(
+                batch["S"], log_probs, mfl, polymer_masks, self.restype_masks,
+                weight=self.label_smoothing, tokens=self.loss_tokens,
+                num_letters=self.cfg.num_letters,
+                ppm_mask=batch["ppm_mask"], aligned_ppm=batch["aligned_ppm"])
+        loss_metric = loss_per_token
         return {
             "loss_per_token": loss_metric.astype(jnp.float32),
             "accuracy": true_false,
@@ -159,12 +162,15 @@ class Trainer:
         }
 
     def _train_step_impl(self, params, opt_state, batch, key):
-        (loss_av, (log_probs, mfl)), grads = jax.value_and_grad(
+        (loss_av, (log_probs, mfl, loss_per_token)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(params, batch, key)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)
-        metrics = self._metrics_from_logprobs(batch, log_probs, mfl)
+        # loss_per_token rides the loss aux — the metric table reuses it
+        # instead of recomputing loss_smoothed.
+        metrics = self._metrics_from_logprobs(batch, log_probs, mfl,
+                                              loss_per_token=loss_per_token)
         metrics["loss_av"] = loss_av
         return params, opt_state, metrics
 
@@ -218,15 +224,23 @@ class Trainer:
                 layout.append((k, a.dtype.name, a.shape, "zero", 0, 0))
                 continue
             wire = a
+            wire_name = None
             if a.dtype == np.int32:
                 lo, hi = int(a.min()), int(a.max())
                 if 0 <= lo and hi <= 255:
                     wire = a.astype(np.uint8)
                 elif -32768 <= lo and hi <= 32767:
                     wire = a.astype(np.int16)
+            elif k == "X" and a.dtype == np.float32 and np.abs(a).max() < 327.0:
+                # Coordinates ride as 0.01-Angstrom fixed-point int16: the
+                # <=0.005 A rounding is 20x below the 0.1 A training noise
+                # (PROTEIN/DNA/RNA_BACKBONE_NOISE) and halves the dominant
+                # feed segment. Structures outside +-327 A keep f32.
+                wire = np.round(a * 100.0).astype(np.int16)
+                wire_name = "q16x100"
             b = np.ascontiguousarray(wire).view(np.uint8).reshape(-1)
-            layout.append((k, a.dtype.name, a.shape, wire.dtype.name, off,
-                           b.size))
+            layout.append((k, a.dtype.name, a.shape,
+                           wire_name or wire.dtype.name, off, b.size))
             parts.append(b)
             off += b.size
         return (np.concatenate(parts) if parts
@@ -240,6 +254,11 @@ class Trainer:
                 out[k] = jnp.zeros(shape, jnp.dtype(dtype_name))
                 continue
             seg = jax.lax.slice(packed, (off,), (off + size,))
+            if wire == "q16x100":
+                v = jax.lax.bitcast_convert_type(seg.reshape(-1, 2),
+                                                 jnp.int16)
+                out[k] = v.reshape(shape).astype(jnp.float32) * 0.01
+                continue
             wdt = np.dtype(wire)
             if wdt.itemsize == 1:
                 val = seg
