@@ -555,6 +555,23 @@ def bench_shape_ceiling_tflops():
     return 2 * rows * h * h * n / best / 1e12
 
 
+def bench_dispatch_floor():
+    """Per-iteration cost of a near-empty jitted step chained like every
+    other measurement here (data-dependent carry, one readback per window):
+    the relay's dispatch floor. Stages whose measured-minus-bound residue
+    is of this order are dispatch-bound, not kernel-bound."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.float32)
+
+    def fn(carry, x):
+        return carry + jnp.sum(x) * 1e-9
+
+    st = _chain_timer(fn, (x,), 50)
+    return float(f"{st['min'] * 1e3:.4g}")
+
+
 def _await_backend(timeout_s: float) -> None:
     """Fail fast (instead of hanging forever) when the relay tile is wedged:
     a killed-mid-init client has been observed to leave the remote session
@@ -642,6 +659,7 @@ def main():
     # the achievable ceiling of the model's own H=128 matmul shape.
     extra["relay_peak_bf16_tflops"] = float(f"{peak:.4g}")
     extra["relay_peak_hbm_gbs"] = float(f"{peak_bw:.4g}")
+    extra["relay_dispatch_floor_ms"] = bench_dispatch_floor()
     extra["shape_ceiling_h128_tflops"] = float(
         f"{bench_shape_ceiling_tflops():.4g}")
     extra["v5e_spec_scaled_train_edges_per_s_estimate"] = float(

@@ -159,33 +159,63 @@ def _bins_exact(D, num_rbf, compute_dtype):
     return blocks
 
 
-def _bins_recursive(D, num_rbf, compute_dtype):
-    """Two-sided geometric recursion (3 exps total): bf16 production path.
+def bin_fold_scales(num_rbf=NUM_RBF):
+    """Per-bin constants e^{c·r·(R-1-r)} folded OUT of the recursion and
+    INTO the weight-table rows (host side): with them removed, both
+    recursion walks become pure geometric series — one vector multiply per
+    bin per side instead of two."""
+    sigma = (RBF_D_MAX - RBF_D_MIN) / num_rbf
+    step = (RBF_D_MAX - RBF_D_MIN) / (num_rbf - 1)
+    c = step * step / (sigma * sigma)
+    r = np.arange(num_rbf, dtype=np.float64)
+    return np.exp(c * r * (num_rbf - 1 - r)).astype(np.float32)
 
-    f_r(D) = exp(-((D-mu_0-r*step)/sigma)^2) = f_0 * g^r * exp(-(r*step/sigma)^2)
-    with g = exp(2*(D-mu_0)*step/sigma^2). Walk up from f_0 and down from
-    f_{R-1}; each side underflows only where the other is exact, so
-    max(up, down) is correct everywhere (see module docstring). Returns R
-    separate [T, AA] blocks (see _bins_exact on why no concatenation)."""
+
+def _bins_recursive(D, num_rbf, compute_dtype):
+    """Two-sided DAMPED geometric recursion (3 exps + 1 reciprocal total):
+    bf16 production path.
+
+    True bins: f_r(D) = exp(-((D-mu_0-r*step)/sigma)^2)
+             = f_lo * g^r * e^{-r^2 c}            (up form)
+             = f_hi * g1^{-(R-1-r)} * e^{-m^2 c}  (down form, m = R-1-r)
+    with g = e^{2*step*(D-mu_0)/sigma^2}, g1 = g*e^{-2(R-1)c},
+    c = (step/sigma)^2. Damping each walk's generator by K = e^{-(R-1)c}
+    gives u_r = f_lo*(gK)^r and d_m = f_hi*(g1_inv K)^m, BOTH of which
+    satisfy f_r = e^{c*r*(R-1-r)} * u_r = e^{c*r*(R-1-r)} * d_{R-1-r} —
+    the SAME scalar (symmetry), which bin_fold_scales folds into the
+    weight tables. So the kernel emits max(u_r, d_{R-1-r}) with one
+    multiply per side per bin; u,d stay in [0,1] (no overflow), and each
+    side underflows only where the other is exact — except both are damped
+    by at most e^{-c((R-1)/2)^2} ≈ e^{-64}, so true bins below ~1e-11 of
+    f32 tiny flush to 0 (≤1e-9 relative effect on the projection, far
+    below bf16 resolution; the fp32/oracle path keeps per-bin exps)."""
     sigma = (RBF_D_MAX - RBF_D_MIN) / num_rbf
     step = (RBF_D_MAX - RBF_D_MIN) / (num_rbf - 1)
     inv_s2 = 1.0 / (sigma * sigma)
-    t0 = D - RBF_D_MIN                      # D - mu_0, in [−?, DIST_CAP]
-    t1 = D - RBF_D_MAX                      # D - mu_{R-1}
-    f_lo = jnp.exp(-(t0 * t0) * inv_s2)
-    f_hi = jnp.exp(-(t1 * t1) * inv_s2)
-    g = jnp.exp((2.0 * step * inv_s2) * t0)  # arg <= 2*48*1.333/1.5625 ≈ 82
-    g_inv = 1.0 / g
-    up, down = [None] * num_rbf, [None] * num_rbf
-    up[0], down[num_rbf - 1] = f_lo, f_hi
     c = step * step * inv_s2
-    for r in range(1, num_rbf):
-        # f_r = f_{r-1} * g * exp(-(2r-1)c); the down walk mirrors with 1/g
-        up[r] = up[r - 1] * g * np.float32(np.exp(-(2 * r - 1) * c))
-        rr = num_rbf - 1 - r
-        down[rr] = down[rr + 1] * g_inv * np.float32(np.exp((2 * rr + 1) * c))
+    R = num_rbf
+    t0 = D - RBF_D_MIN                      # D - mu_0
+    t1 = D - RBF_D_MAX                      # D - mu_{R-1}
+    # Flush subnormal seeds to zero: a denormal f_lo/f_hi (~1e-45, ~70%
+    # relative error) amplified by the walk's e^{+47}-scale generators
+    # would otherwise beat the accurate opposite side in the max.
+    tiny = np.float32(1.2e-38)
+    f_lo = jnp.exp(-(t0 * t0) * inv_s2)
+    f_lo = jnp.where(f_lo < tiny, 0.0, f_lo)
+    f_hi = jnp.exp(-(t1 * t1) * inv_s2)
+    f_hi = jnp.where(f_hi < tiny, 0.0, f_hi)
+    g = jnp.exp((2.0 * step * inv_s2) * t0)  # arg <= 2*48*1.333/1.5625 ≈ 82
+    K = np.float32(np.exp(-(R - 1) * c))
+    gK = g * K                              # up generator (damped)
+    # down generator: g1_inv*K = (1/g)*e^{2(R-1)c}*e^{-(R-1)c} = e^{(R-1)c}/g
+    g1K = np.float32(np.exp((R - 1) * c)) / g
+    up, down = [None] * R, [None] * R
+    up[0], down[R - 1] = f_lo, f_hi
+    for r in range(1, R):
+        up[r] = up[r - 1] * gK
+        down[R - 1 - r] = down[R - r] * g1K
     return [jnp.maximum(up[r], down[r]).astype(compute_dtype)
-            for r in range(num_rbf)]
+            for r in range(R)]
 
 
 def _rbf_block(xi, xj, mi, mj, sq, sn, num_rbf, compute_dtype):
@@ -448,12 +478,20 @@ def _run(X_aug_q, X_m_q, X_aug_k, X_m_k, E_idx, W, compute_dtype, interpret):
     B, Lq = E_idx.shape[:2]
     Xq, Xj, Mq, Mj, E, K = _prep_operands(X_aug_q, X_m_q, X_aug_k, X_m_k,
                                           E_idx)
-    W0, W1, W2, W3 = split_weight_tables(W)
+    tables = [w.astype(jnp.float32) for w in split_weight_tables(W)]
+    if compute_dtype == jnp.bfloat16:
+        # The bf16 kernel emits DAMPED bins (see _bins_recursive); the
+        # per-bin fold constants ride the table rows. Gradients to W flow
+        # through this scaling automatically (it sits outside the
+        # custom-VJP projection).
+        scales = jnp.asarray(bin_fold_scales())
+        tables = [w * jnp.repeat(scales, w.shape[0] // NUM_RBF)[:, None]
+                  for w in tables]
+    W0, W1, W2, W3 = tables
     sg = jax.lax.stop_gradient
     out = _classed_proj(
         sg(Xq), sg(Xj), sg(Mq), sg(Mj),
-        W0.astype(jnp.float32), W1.astype(jnp.float32),
-        W2.astype(jnp.float32), W3.astype(jnp.float32), K, compute_dtype,
+        W0, W1, W2, W3, K, compute_dtype,
         interpret)
     return out[:E].reshape(B, Lq, K, -1)
 

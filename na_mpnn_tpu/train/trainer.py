@@ -542,6 +542,10 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
                     m["mask_for_loss"], polymer_masks, interface)
 
         run_split(df_train, p["MAX_NUMBER_OF_PDBS_TRAIN"], "train")
+        # One scalar readback so train_time covers the queued device work
+        # (on the relay, only a readback forces execution) — keeps the
+        # per-epoch train_time honest against device-only measurements.
+        np.asarray(jax.tree.leaves(trainer.params)[0])[:1]
         t1 = time.time()
         run_split(df_valid, p["MAX_NUMBER_OF_PDBS_VALID"], "valid")
         t2 = time.time()
