@@ -55,8 +55,7 @@ def install_mocks():
     def run_dssr(structure_path, dssr_binary="x3dna-dssr"):
         from na_mpnn_tpu.data.pdb import parse_pdb
         from na_mpnn_tpu import constants
-        p = parse_pdb(structure_path, parse_protein=False, parse_dna=False,
-                      parse_rna=True)
+        p = parse_pdb(structure_path, parse_na_only=True)
         table = {v: k for k, v in
                  constants.restype_to_int_table(True).items()}
         seq = "".join(table[int(s)][-1] for s in np.asarray(p["S"]).ravel())
