@@ -118,27 +118,58 @@ def split_weight_tables(W, num_rbf=NUM_RBF):
     return [jnp.take(W, jnp.asarray(r), axis=0) for r in group_rows(num_rbf)]
 
 
-def _pair_distances(xi, xj, mi, mj, sq, sn):
-    """Masked pair distances for one block: [T, Aq*An] via VPU broadcasts.
+# Sentinel offset applied to masked atoms' x-plane: any pair with a masked
+# endpoint gets |dx| >= MASK_FAR - (coordinate span), so D floors at
+# DIST_CAP after the cap. Coordinates are capped far below this.
+MASK_FAR = 1e4
 
-    xi/mi: query rows already repeated to edge granularity [T, 3A]/[T, A]
-    (block-contiguous PERM order); xj/mj: per-edge neighbor rows. Column
-    (q*An + n) holds |xi_atom(q) - xj_atom(n)| for valid pairs, DIST_CAP
-    for masked ones.
-    """
+
+def _expansion(sq, sn):
+    """0/1 expansion matrices EA/EB [A, Aq*An] (iota-built) mapping the
+    per-atom planes onto the (query, neighbor) pair grid for one
+    block-contiguous slice pair."""
     q0, q1 = sq
     n0, n1 = sn
-    parts = []
-    for q in range(q0, q1):
-        d2 = jnp.full((xi.shape[0], n1 - n0), 1e-6, jnp.float32)
-        for c in range(3):
-            d = xi[:, c * A + q][:, None] - xj[:, c * A + n0:c * A + n1]
-            d2 = d2 + d * d
-        m = mi[:, q][:, None] * mj[:, n0:n1]
-        parts.append(jnp.minimum(jnp.sqrt(d2), DIST_CAP)
-                     + (1.0 - m) * DIST_CAP)
-    D = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    return jnp.minimum(D, DIST_CAP)
+    An = n1 - n0
+    AA = (q1 - q0) * An
+    row = jax.lax.broadcasted_iota(jnp.int32, (A, AA), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (A, AA), 1)
+    EA = (row == (q0 + col // An)).astype(jnp.float32)
+    EB = (row == (n0 + col % An)).astype(jnp.float32)
+    return EA, EB
+
+
+def _pair_distances(xi, xj, mi, mj, sq, sn, compute_dtype=jnp.bfloat16):
+    """Masked pair distances for one block: [T, Aq*An].
+
+    Pair grids are built on the MXU with 0/1 expansion matmuls — one per
+    coordinate plane per side. (The v2 design built them with a per-query-
+    atom VPU loop of [T, An]-wide ops; those sub-register-width operations
+    were the ENTIRE gap to the kernel's no-bins floor — a one-q stand-in
+    measured 2.96 ms vs 7.8 ms real, same process.) Masks don't need their
+    own expansions: masked atoms' x-plane is driven MASK_FAR apart before
+    expansion, so masked pairs exceed DIST_CAP and every bin underflows to
+    exactly 0."""
+    q0, q1 = sq
+    n0, n1 = sn
+    T = xi.shape[0]
+    AA = (q1 - q0) * (n1 - n0)
+    # 0/1 selection: one nonzero product per output, so HIGHEST is exact;
+    # Mosaic supports only DEFAULT/HIGHEST for in-kernel dots.
+    prec = jax.lax.Precision.HIGHEST
+    EA, EB = _expansion(sq, sn)
+    xix = xi[:, :A] + (1.0 - mi) * MASK_FAR
+    xjx = xj[:, :A] - (1.0 - mj) * MASK_FAR
+    planes_i = (xix, xi[:, A:2 * A], xi[:, 2 * A:])
+    planes_j = (xjx, xj[:, A:2 * A], xj[:, 2 * A:])
+    D2 = jnp.full((T, AA), 1e-6, jnp.float32)
+    for pi, pj in zip(planes_i, planes_j):
+        d = (jnp.dot(pi, EA, preferred_element_type=jnp.float32,
+                     precision=prec)
+             - jnp.dot(pj, EB, preferred_element_type=jnp.float32,
+                       precision=prec))
+        D2 = D2 + d * d
+    return jnp.minimum(jnp.sqrt(D2), DIST_CAP)
 
 
 def _bins_exact(D, num_rbf, compute_dtype):
@@ -221,7 +252,7 @@ def _bins_recursive(D, num_rbf, compute_dtype):
 def _rbf_block(xi, xj, mi, mj, sq, sn, num_rbf, compute_dtype):
     """Masked RBF bins for one atom-pair block: R separate [T, Aq*An]
     arrays (bin-r block of the kernel-order r-major table layout)."""
-    D = _pair_distances(xi, xj, mi, mj, sq, sn)
+    D = _pair_distances(xi, xj, mi, mj, sq, sn, compute_dtype)
     if compute_dtype == jnp.bfloat16:
         return _bins_recursive(D, num_rbf, compute_dtype)
     return _bins_exact(D, num_rbf, compute_dtype)
@@ -332,8 +363,11 @@ def _table_sizes(num_rbf):
 
 
 def _tiling(K):
-    """Edges per tile (a multiple of K) and query nodes per tile."""
-    QT = max(1, EDGE_TILE // K)
+    """Edges per tile (a multiple of K) and query nodes per tile.
+
+    QT must be a multiple of 8: Mosaic requires block second-minor dims
+    divisible by 8 (caught at K=24 on the L=24 sampler shape — QT=10)."""
+    QT = max(8, (EDGE_TILE // K) // 8 * 8)
     return QT * K, QT
 
 

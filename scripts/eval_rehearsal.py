@@ -34,6 +34,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = "/root/reference/inference/examples"
 SELF = os.path.abspath(__file__)
+sys.path.insert(0, REPO)
 
 
 # ---------------------------------------------------------------------------
