@@ -31,6 +31,18 @@ from .. import constants
 # at inference — their heavy atoms become ligand context (Y/Y_t/Y_m), exactly
 # as the reference behaves. The training-path CIF parser handles modified
 # residues through the residue library instead (data/cif.py).
+#
+# Provenance: best-effort reconstruction of ProDy's flag resname sets
+# (prody/atomic/flags.py; the reference pins ProDy v2.6.1, README.md:15).
+# ProDy is not installable in this offline image, so membership of the rare
+# entries (I, DI, TDP, UNK, PYL) is UNVERIFIED against the real flags.py —
+# they are included because the PDB chemical component dictionary classifies
+# them as polymer residues. tests/prody_shim.py imports these sets (single
+# source of truth), so shim-oracle parity tests exercise classification
+# CONSISTENCY, not ProDy ground truth. If a live ProDy 2.6.1 is ever
+# available, diff these sets against
+# `prody.atomic.flags.DEFAULTS['aminoacid'|'nucleic'|'water']` and record
+# the result here.
 PROTEIN_RESNAMES = {
     "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
     "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",

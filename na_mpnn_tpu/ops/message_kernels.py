@@ -41,7 +41,26 @@ from .fused_layers import _dotp, _gelu, _rep_rows, _seg_sum
 # 6000-token training shape (16/32 sweep: 78.8 vs 85.8 ms train step, and
 # T=32 additionally overflows the 16MB scoped-VMEM limit in the decoder
 # table kernel); overridable for sweeps via env.
-NODE_TILE = int(os.environ.get("NA_MPNN_NODE_TILE", "16"))
+
+
+def _node_tile_from_env() -> int:
+    raw = os.environ.get("NA_MPNN_NODE_TILE", "16")
+    try:
+        t = int(raw)
+    except ValueError as e:
+        raise ValueError(f"NA_MPNN_NODE_TILE={raw!r} is not an integer") from e
+    # Must be a positive multiple of 8 (Mosaic sublane granularity); 32 is
+    # the largest tile that fits the decoder table kernel's scoped VMEM.
+    if t <= 0 or t % 8 or t > 32:
+        raise ValueError(
+            f"NA_MPNN_NODE_TILE={t} invalid: need a multiple of 8 in [8, 32]")
+    if t != 16:
+        print(f"[na_mpnn_tpu] non-default NODE_TILE={t} active "
+              "(all processes of a multi-host run must agree)", flush=True)
+    return t
+
+
+NODE_TILE = _node_tile_from_env()
 
 
 def _gelu_grad(x):

@@ -86,9 +86,8 @@ NUM_GROUPS = 5  # 4 specialized + fallback
 # N = cols [5,18). Kernel-side blocks are static slices of this frame.
 PERM = list(P_SEL) + list(N_SEL)
 NP_ = len(P_SEL)
-_SLICES = {id(P_SEL): (0, NP_), id(N_SEL): (NP_, A)}
-GROUP_SLICES = [((0, NP_) if sq is P_SEL else (NP_, A),
-                 (0, NP_) if sn is P_SEL else (NP_, A))
+GROUP_SLICES = [((0, NP_) if sq == P_SEL else (NP_, A),
+                 (0, NP_) if sn == P_SEL else (NP_, A))
                 for sq, sn in GROUP_SELS]
 
 # Distances are capped here before binning: every RBF bin at DIST_CAP

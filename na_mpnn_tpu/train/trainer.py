@@ -115,6 +115,23 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         # Packed-feed variants keyed by batch layout (one per shape bucket).
         self._packed_steps = {}
+        # Coordinate quantization over the wire is only lossless-in-effect
+        # when training adds backbone noise that dwarfs the 0.005 A rounding;
+        # a noise-free fine-tune config must ship X as f32 (advisor r4).
+        # NA_MPNN_PACK_X=q16|f32 overrides the automatic gate.
+        pack_x = os.environ.get("NA_MPNN_PACK_X", "auto")
+        if pack_x == "q16":
+            self._quantize_x = True
+        elif pack_x == "f32":
+            self._quantize_x = False
+        else:
+            self._quantize_x = min(cfg.protein_augment_eps,
+                                   cfg.dna_augment_eps,
+                                   cfg.rna_augment_eps) >= 0.05
+        # Per-key wire-format pins: once a key is seen nonzero it is always
+        # transferred, and integer widths only ever widen — so a batch
+        # oscillating across a narrowing threshold cannot force recompiles.
+        self._wire_pins: Dict[str, str] = {}
 
     # -- loss ------------------------------------------------------------
 
@@ -197,9 +214,13 @@ class Trainer:
     # memcpy) and bitcasting it back inside the jitted step collapses that
     # to a single transfer.
 
-    @staticmethod
-    def _pack_np_batch(np_batch):
-        """(packed uint8 [N], static layout) for one host->device transfer.
+    _WIRE_WIDTH = {"zero": -1, "uint8": 0, "int16": 1, "q16x100": 1,
+                   "int32": 2, "float32": 2}
+
+    def _pack_np_batch(self, np_batch):
+        """(packed uint8 [N], static layout) for one host->device transfer,
+        or (None, None) when a batch array has an unsupported dtype (caller
+        falls back to the direct per-array path).
 
         The tunnel's H2D path is bandwidth-bound (~170 MB/s measured) and
         does not overlap device execution, so feed cost is proportional to
@@ -210,7 +231,9 @@ class Trainer:
         arrays (e.g. aligned_ppm when no PPMs are attached — 0.8 MB of
         zeros per 6000-token batch) are not transferred at all and
         materialize as jnp.zeros on device. The layout is static per
-        (shape, dtype, zero/width) signature — one compile per bucket."""
+        (shape, dtype, zero/width) signature — one compile per bucket —
+        and per-key formats are pinned monotonically (never re-narrowed,
+        never re-zero-skipped) so layouts converge instead of oscillating."""
         parts, layout, off = [], [], 0
         norm = {np.dtype(np.int64): np.int32, np.dtype(np.float64): np.float32,
                 np.dtype(np.bool_): np.int32}
@@ -219,28 +242,38 @@ class Trainer:
                 continue
             a = np.asarray(np_batch[k])
             a = a.astype(norm.get(a.dtype, a.dtype), copy=False)
-            assert a.dtype.itemsize == 4, (k, a.dtype)
-            if not a.any():
+            if a.dtype.itemsize != 4:
+                return None, None
+            pin = self._wire_pins.get(k)
+            if not a.any() and pin is None:
                 layout.append((k, a.dtype.name, a.shape, "zero", 0, 0))
                 continue
             wire = a
-            wire_name = None
+            wire_name = a.dtype.name
             if a.dtype == np.int32:
                 lo, hi = int(a.min()), int(a.max())
                 if 0 <= lo and hi <= 255:
-                    wire = a.astype(np.uint8)
+                    wire_name = "uint8"
                 elif -32768 <= lo and hi <= 32767:
-                    wire = a.astype(np.int16)
-            elif k == "X" and a.dtype == np.float32 and np.abs(a).max() < 327.0:
+                    wire_name = "int16"
+            elif (k == "X" and a.dtype == np.float32 and self._quantize_x
+                  and np.abs(a).max() < 327.0):
                 # Coordinates ride as 0.01-Angstrom fixed-point int16: the
-                # <=0.005 A rounding is 20x below the 0.1 A training noise
-                # (PROTEIN/DNA/RNA_BACKBONE_NOISE) and halves the dominant
-                # feed segment. Structures outside +-327 A keep f32.
-                wire = np.round(a * 100.0).astype(np.int16)
+                # <=0.005 A rounding is >=10x below the gated-on backbone
+                # noise (see __init__) and halves the dominant feed
+                # segment. Structures outside +-327 A keep f32.
                 wire_name = "q16x100"
+            # Monotonic widening against the pin (zero counts as narrowest).
+            if pin is not None and (self._WIRE_WIDTH[pin]
+                                    >= self._WIRE_WIDTH[wire_name]):
+                wire_name = pin
+            self._wire_pins[k] = wire_name
+            if wire_name == "q16x100":
+                wire = np.round(a * 100.0).astype(np.int16)
+            elif wire_name != a.dtype.name:
+                wire = a.astype(np.dtype(wire_name))
             b = np.ascontiguousarray(wire).view(np.uint8).reshape(-1)
-            layout.append((k, a.dtype.name, a.shape,
-                           wire_name or wire.dtype.name, off, b.size))
+            layout.append((k, a.dtype.name, a.shape, wire_name, off, b.size))
             parts.append(b)
             off += b.size
         return (np.concatenate(parts) if parts
@@ -281,9 +314,11 @@ class Trainer:
 
     def train_step(self, np_batch, key):
         arrays = {k: np_batch[k] for k in BATCH_KEYS if k in np_batch}
+        packed = layout = None
         if (self.batch_sharding is None
                 and not any(isinstance(v, jax.Array) for v in arrays.values())):
             packed, layout = self._pack_np_batch(arrays)
+        if layout is not None:
             fn = self._packed_step_fn(layout)
             self.params, self.opt_state, metrics = fn(
                 self.params, self.opt_state, jnp.asarray(packed), key)

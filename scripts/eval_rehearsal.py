@@ -126,22 +126,54 @@ def make_checkpoint(path):
     save_checkpoint_npz(path, params, meta={"step": 0})
 
 
+# Local-frame offsets (Å) for a full RNA residue, relative to C1'.  Rough
+# ribose/phosphate geometry — non-degenerate (no collinear triples) so the
+# featurizer's virtual-atom frames are well defined.  Crucially includes
+# O2': the parser's rna_mask_for_token_conversion keys on O2' presence
+# (reference inference/data_utils.py:320), so an O2'-less fixture is
+# classified as DNA and the RNA-monomer scoring leg rejects the designs
+# (the round-4 rehearsal crash).
+_RNA_ATOM_OFFSETS = (
+    ("P",   (-2.20,  1.40, -2.30)),
+    ("OP1", (-3.30,  2.10, -2.90)),
+    ("OP2", (-1.30,  2.40, -1.80)),
+    ("O5'", (-1.50,  0.50, -1.30)),
+    ("C5'", (-1.90, -0.80, -0.90)),
+    ("C4'", (-1.10, -1.30,  0.25)),
+    ("O4'", (-0.40, -0.30,  0.95)),
+    ("C3'", (-0.10, -2.30, -0.10)),
+    ("O3'", (-0.50, -3.60,  0.30)),
+    ("C2'", ( 1.10, -1.60,  0.50)),
+    ("O2'", ( 2.30, -2.30,  0.30)),
+    ("C1'", ( 0.00,  0.00,  0.00)),
+)
+
+
 def write_synthetic_rna_monomer(path, n=24, seed=3):
-    """All-atom-free RNA monomer (C1' trace) — an RNA-only structure for the
+    """Synthetic RNA monomer with the FULL 12-atom RNA backbone per residue
+    (incl. O2') plus the glycosidic N — an RNA-only structure for the
     monomer protocol leg (the reference's design_rna_monomer_test set is
     RNA monomers; the example PDBs are protein-NA complexes)."""
     rng = np.random.RandomState(seed)
     lines, serial = [], 1
     letters = "ACGU"
     for i in range(n):
-        x, y, z = np.cos(i * 0.55) * 9.2, np.sin(i * 0.55) * 9.2, i * 2.9
+        th = i * 0.55
+        cx, cy, cz = np.cos(th) * 9.2, np.sin(th) * 9.2, i * 2.9
+        # Rotate the local frame with the helix so consecutive residues
+        # aren't parallel translates.
+        c, s = np.cos(th), np.sin(th)
         res = letters[int(rng.randint(4))]
-        for name, off in (("P", (0.2, 0.1, -0.4)), ("C1'", (0, 0, 0)),
-                          ("N1" if res in "CU" else "N9", (0.9, 0.6, 0.3))):
+        atoms = _RNA_ATOM_OFFSETS + (
+            ("N1" if res in "CU" else "N9", (0.90, 0.60, 1.40)),)
+        for name, (ox, oy, oz) in atoms:
+            x = cx + c * ox - s * oy
+            y = cy + s * ox + c * oy
+            z = cz + oz
             pad = f"{name:<4}"
             lines.append(
                 f"ATOM  {serial:5d} {pad} {res:>3} A{i + 1:4d}    "
-                f"{x + off[0]:8.3f}{y + off[1]:8.3f}{z + off[2]:8.3f}"
+                f"{x:8.3f}{y:8.3f}{z:8.3f}"
                 f"  1.00  0.00           {name[0]}")
             serial += 1
     open(path, "w").write("\n".join(lines) + "\nEND\n")

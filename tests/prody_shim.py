@@ -24,28 +24,12 @@ import re
 
 import numpy as np
 
-# ProDy flag resname sets (subset sufficient for PDB-format structures;
-# same membership rules as prody.atomic.flags).
-_STD_AA = {
-    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
-    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
-}
-_NONSTD_AA = {
-    "ASX", "GLX", "CSO", "HIP", "HSD", "HSE", "HSP", "MSE", "SEC", "SEP",
-    "TPO", "PTR", "XLE", "XAA", "UNK", "PYL",
-}
-PROTEIN_RESNAMES = _STD_AA | _NONSTD_AA
-NUCLEIC_RESNAMES = {
-    # nucleotides / deoxynucleotides
-    "DA", "DC", "DG", "DT", "DU", "DI", "A", "C", "G", "T", "U", "I",
-    # nucleobases
-    "GUN", "ADE", "CYT", "THY", "URA",
-    # nucleoside phosphates
-    "AMP", "ADP", "ATP", "CMP", "CDP", "CTP", "GMP", "GDP", "GTP",
-    "TMP", "TDP", "TTP", "UMP", "UDP", "UTP",
-}
-WATER_RESNAMES = {"HOH", "DOD", "WAT", "TIP", "TIP2", "TIP3", "TIP4", "H2O",
-                  "OH2"}
+# Flag resname sets are imported from the package parser so shim and
+# production parser share ONE definition (they must classify identically
+# for the oracle comparison to be meaningful; see the provenance note at
+# na_mpnn_tpu/data/pdb.py on how the sets were reconstructed).
+from na_mpnn_tpu.data.pdb import (NUCLEIC_RESNAMES, PROTEIN_RESNAMES,  # noqa: E402
+                                  WATER_RESNAMES)
 
 
 def confProDy(**kwargs):

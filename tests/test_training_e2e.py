@@ -304,12 +304,15 @@ def test_packed_feed_matches_direct_path():
     from na_mpnn_tpu.train.trainer import BATCH_KEYS, Trainer
 
     cfg = ModelConfig(dropout=0.1, protein_augment_eps=0.1,
+                      dna_augment_eps=0.1, rna_augment_eps=0.1,
                       compute_dtype="float32", kernels="xla")
     nb = _synthetic_batch(B=2, L=64)
     arrays = {k: nb[k] for k in BATCH_KEYS if k in nb}
 
     # layout round-trip: unpack(pack(x)) == x (X to quantization)
-    packed, layout = Trainer._pack_np_batch(arrays)
+    t1 = Trainer(cfg, seed=0)
+    assert t1._quantize_x  # all augment eps >= 0.05 -> q16 wire format on
+    packed, layout = t1._pack_np_batch(arrays)
     out = jax.jit(lambda p: Trainer._unpack_batch(p, layout))(
         jnp.asarray(packed))
     for k in arrays:
@@ -322,10 +325,58 @@ def test_packed_feed_matches_direct_path():
 
     # one full step: losses agree to quantization-level tolerance
     key = jax.random.PRNGKey(3)
-    t1 = Trainer(cfg, seed=0)
     m1 = t1.train_step(nb, key)                       # packed path
     t2 = Trainer(cfg, seed=0)
     batch = t2._device_batch(nb)
     t2.params, t2.opt_state, m2 = t2._train_step(t2.params, t2.opt_state,
                                                  batch, key)
     assert abs(float(m1["loss_av"]) - float(m2["loss_av"])) < 1e-3
+
+
+def test_packed_feed_noise_free_config_keeps_f32_coords():
+    """When backbone noise is configured to 0 (noise-free fine-tuning) the
+    packed feed must NOT quantize X: the 0.005-A rounding would otherwise
+    silently perturb inputs with nothing to hide it under (advisor r4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from __graft_entry__ import _synthetic_batch
+    from na_mpnn_tpu.models import ModelConfig
+    from na_mpnn_tpu.train.trainer import BATCH_KEYS, Trainer
+
+    cfg = ModelConfig(dropout=0.0, protein_augment_eps=0.0,
+                      dna_augment_eps=0.0, rna_augment_eps=0.0,
+                      compute_dtype="float32", kernels="xla")
+    t = Trainer(cfg, seed=0)
+    assert not t._quantize_x
+    nb = _synthetic_batch(B=1, L=48)
+    arrays = {k: nb[k] for k in BATCH_KEYS if k in nb}
+    packed, layout = t._pack_np_batch(arrays)
+    out = jax.jit(lambda p: Trainer._unpack_batch(p, layout))(
+        jnp.asarray(packed))
+    np.testing.assert_array_equal(np.asarray(out["X"]),
+                                  np.asarray(arrays["X"], np.float32))
+
+
+def test_packed_feed_layout_pins_prevent_oscillation():
+    """Integer widths only widen and zero-skip is one-way, so batches that
+    straddle a narrowing threshold reuse ONE layout (no recompile storm)."""
+    import numpy as np
+    from __graft_entry__ import _synthetic_batch
+    from na_mpnn_tpu.models import ModelConfig
+    from na_mpnn_tpu.train.trainer import BATCH_KEYS, Trainer
+
+    t = Trainer(ModelConfig(compute_dtype="float32", kernels="xla"), seed=0)
+    nb = _synthetic_batch(B=1, L=48)
+    arrays = {k: np.asarray(nb[k]) for k in BATCH_KEYS if k in nb}
+    small = dict(arrays, R_idx=np.asarray(nb["R_idx"]).clip(0, 200))
+    big = dict(arrays, R_idx=np.asarray(nb["R_idx"]) + 40000)
+    _, lay_small = t._pack_np_batch(small)
+    _, lay_big = t._pack_np_batch(big)
+    _, lay_small2 = t._pack_np_batch(small)  # must NOT re-narrow
+    assert lay_big == lay_small2
+    wire = {e[0]: e[3] for e in lay_small2}
+    assert wire["R_idx"] == "int32"
+    # unsupported dtype -> graceful (None, None) fallback, not an assert
+    bad = dict(arrays, S=arrays["S"].astype(np.int16))
+    assert t._pack_np_batch(bad) == (None, None)
