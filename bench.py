@@ -321,7 +321,7 @@ def bench_stages(cfg, params, batch, peak_tflops=None, peak_gbs=None):
     def feat_fn(carry, batch):
         b = dict(batch)
         b["X"] = batch["X"] + carry * 0.0
-        V, E, E_idx = features_apply(params["features"], cfg, b)
+        V, E, E_idx, _ = features_apply(params["features"], cfg, b)
         return jnp.sum(E) + jnp.sum(V)
 
     feat_s = _stage("featurizer_total", feat_fn, (batch,))

@@ -173,12 +173,23 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     else:
         _, E_idx = knn_graph(X_ref, mask, cfg.k_neighbors)
 
-    # Relative position + same-chain indicator, computed per edge.
+    # Relative position + same-chain indicator + neighbor mask, computed per
+    # edge through ONE packed row-gather. XLA's TPU lowering serializes 1-D
+    # (scalar) gathers at ~7 ns/row — ~1.4 ms EACH at the 6000-token shape,
+    # measured in-situ — while a [B,L,C] row gather with C>=2 takes the
+    # vectorized path (~0.2 ms total). All values are exact in f32
+    # (ints < 2^24).
     from .modules import take_rows
     R_idx = batch["R_idx"].astype(jnp.int32)
-    offset = R_idx[:, :, None] - take_rows(R_idx, E_idx)
     chain_labels = batch["chain_labels"].astype(jnp.int32)
-    E_chains = (chain_labels[:, :, None] == take_rows(chain_labels, E_idx)).astype(jnp.int32)
+    scalar_tab = jnp.stack(
+        [R_idx.astype(jnp.float32), chain_labels.astype(jnp.float32),
+         mask.astype(jnp.float32)], axis=-1)                   # [B,L,3]
+    g = take_rows(scalar_tab, E_idx)                           # [B,L,K,3]
+    offset = R_idx[:, :, None] - g[..., 0].astype(jnp.int32)
+    E_chains = (chain_labels[:, :, None]
+                == g[..., 1].astype(jnp.int32)).astype(jnp.int32)
+    mask_attend = mask.astype(jnp.float32)[:, :, None] * g[..., 2]
 
     # Split edge embedding: W_edge rows [0:16) act on the positional block and
     # the rest on the RBF block — algebraically identical to embedding the
@@ -231,7 +242,7 @@ def features_apply(p, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
                        dtype=p["node_embedding"]["w"].dtype)
     V = linear(p["node_embedding"], V)
     V = layer_norm(p["norm_nodes"], V)
-    return V, E, E_idx
+    return V, E, E_idx, mask_attend
 
 
 def init_features(key, cfg: ModelConfig, dtype=jnp.float32):

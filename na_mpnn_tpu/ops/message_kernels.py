@@ -311,15 +311,24 @@ def _sel(onehot, table, compute_dtype):
 
 
 def _fwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
-                      mbw_ref, mfw_ref, wa_ref, wb_ref, b1_ref, w2_ref,
-                      b2_ref, w3_ref, b3_ref, out_ref, *, K, compute_dtype,
-                      dec_mode, aggregate):
+                      mbw_ref, wa_ref, wb_ref, b1_ref, w2_ref,
+                      b2_ref, w3_ref, b3_ref, *refs, K, compute_dtype,
+                      dec_mode, aggregate, save_x):
     """Fused message MLP with the in-kernel neighbor gather.
 
     enc mode (dec_mode=False): x = rep@(h_V@wa) + e_in@wb + sel(table) + b1
-    dec mode: x = rep@(h_V@wa) + m1d*(e_in@wb) + ctx + b1 where the table has
-    3H cols and ctx = mbw*(sel0+sel1) + mfw*sel2 (models.mpnn.edge_context
-    semantics); m1d rides mask_att_ref."""
+    dec mode: the table has 2H cols [A | B] with A = h_S@ws + h_Vcur@wv -
+    h_Venc@wv and B = h_Venc@wv (the 3-term context collapsed via the exact
+    identity mask_fw = mask_1d - mask_bw, models.mpnn.autoregressive_edge_
+    masks); x = rep@(h_V@wa) + m1d*(e_in@wb) + mbw*selA + m1d*selB + b1,
+    where m1d rides mask_att_ref.
+
+    save_x=True additionally writes the pre-GELU activations x so the
+    backward kernel skips the (dominant) gather-matmul recompute."""
+    if save_x:
+        out_ref, x_ref = refs
+    else:
+        (out_ref,) = refs
     H = h_V_ref.shape[1]
     L = table_ref.shape[0]
 
@@ -328,12 +337,13 @@ def _fwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     onehot = _onehot_rows(eidx_ref[:], L, dtype=compute_dtype)
     g = _sel(onehot, table_ref[:], compute_dtype)
     if dec_mode:
-        ctx = (mbw_ref[:] * (g[:, :H] + g[:, H:2 * H])
-               + mfw_ref[:] * g[:, 2 * H:])
+        ctx = mbw_ref[:] * g[:, :H] + mask_att_ref[:] * g[:, H:]
         x = x + ctx + mask_att_ref[:] * _dotp(e_in_ref[:], wb_ref[:],
                                               compute_dtype)
     else:
         x = x + g + _dotp(e_in_ref[:], wb_ref[:], compute_dtype)
+    if save_x:
+        x_ref[:] = x.astype(x_ref.dtype)
 
     m = _dotp(_gelu(x), w2_ref[:], compute_dtype) + b2_ref[:]
     m = _dotp(_gelu(m), w3_ref[:], compute_dtype) + b3_ref[:]
@@ -345,15 +355,16 @@ def _fwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
         out_ref[:] = m.astype(out_ref.dtype)
 
 
-def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
-                      mbw_ref, mfw_ref, wa_ref, wb_ref, b1_ref, w2_ref,
+def _bwd_kernel_table(h_V_ref, e_in_ref, x_ref, eidx_ref, mask_att_ref,
+                      mbw_ref, wa_ref, wb_ref, b1_ref, w2_ref,
                       b2_ref, w3_ref, b3_ref, g_ref,
                       g_hV_ref, g_ein_ref, g_tab_ref, dwa_ref, dwb_ref,
                       db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref, *, K,
-                      compute_dtype, dec_mode, aggregate):
+                      compute_dtype, dec_mode, aggregate, L):
+    """Backward from the SAVED pre-GELU activations x (no gather recompute;
+    the table values are not needed at all — only the scatter of the table
+    cotangent, an eidx-driven one-hot-transpose matmul)."""
     T = h_V_ref.shape[0]
-    H = h_V_ref.shape[1]
-    L = table_ref.shape[0]
     h_V = h_V_ref[:]
     e_in = e_in_ref[:]
 
@@ -369,17 +380,8 @@ def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     def _():
         g_tab_ref[:] = jnp.zeros_like(g_tab_ref)
 
-    # Recompute the tile's activations.
-    onehot = _onehot_rows(eidx_ref[:], L, dtype=compute_dtype)
-    g_sel = _sel(onehot, table_ref[:], compute_dtype)
-    a_i = _dotp(h_V, wa_ref[:], compute_dtype)
-    x = _rep_rows(a_i, K) + b1_ref[:]
-    if dec_mode:
-        ctx = (mbw_ref[:] * (g_sel[:, :H] + g_sel[:, H:2 * H])
-               + mfw_ref[:] * g_sel[:, 2 * H:])
-        x = x + ctx + mask_att_ref[:] * _dotp(e_in, wb_ref[:], compute_dtype)
-    else:
-        x = x + g_sel + _dotp(e_in, wb_ref[:], compute_dtype)
+    # Resume the forward from the saved activations.
+    x = x_ref[:].astype(jnp.float32)
     u1 = _gelu(x)
     y = _dotp(u1, w2_ref[:], compute_dtype) + b2_ref[:]
     u2 = _gelu(y)
@@ -419,7 +421,7 @@ def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     if dec_mode:
         g_e_contrib = mask_att_ref[:] * g_x
         g_tab = jnp.concatenate(
-            [mbw_ref[:] * g_x, mbw_ref[:] * g_x, mfw_ref[:] * g_x], axis=1)
+            [mbw_ref[:] * g_x, mask_att_ref[:] * g_x], axis=1)
     else:
         g_e_contrib = g_x
         g_tab = g_x
@@ -432,7 +434,7 @@ def _bwd_kernel_table(h_V_ref, e_in_ref, table_ref, eidx_ref, mask_att_ref,
     dwa_ref[:] += dotT_acc(h_V, s)
 
 
-def _table_specs(T, K, H, L, C_tab, aggregate, for_bwd):
+def _table_specs(T, K, H, L, C_tab, aggregate, for_bwd, save_x=False):
     node = pl.BlockSpec((T, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
     edge = pl.BlockSpec((T * K, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
     edge1 = pl.BlockSpec((T * K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -440,65 +442,76 @@ def _table_specs(T, K, H, L, C_tab, aggregate, for_bwd):
                          memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((H, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    in_specs = [node, edge, table, edge1, edge1, edge1, edge1,
-                mat, mat, row, mat, row, mat, row]
     if for_bwd:
+        # x rides the table slot (the bwd kernel needs no table values).
+        in_specs = [node, edge, edge, edge1, edge1, edge1,
+                    mat, mat, row, mat, row, mat, row]
         in_specs = in_specs + [node if aggregate else edge]
         out_specs = [node, edge, table, mat, mat, row, mat, row, mat, row]
         return in_specs, out_specs
-    return in_specs, (node if aggregate else edge)
+    in_specs = [node, edge, table, edge1, edge1, edge1,
+                mat, mat, row, mat, row, mat, row]
+    out_spec = node if aggregate else edge
+    if save_x:
+        return in_specs, [out_spec, edge]
+    return in_specs, out_spec
 
 
 @functools.partial(jax.jit, static_argnames=("K", "L", "compute_dtype",
                                              "dec_mode", "aggregate",
-                                             "interpret"))
-def _message_table_fwd_call(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+                                             "interpret", "save_x"))
+def _message_table_fwd_call(h_V, e_in, table, eidx, mask_att, mbw,
                             wa, wb, b1, w2, b2, w3, b3,
                             K, L, compute_dtype, dec_mode, aggregate,
-                            interpret):
+                            interpret, save_x=False):
     N, H = h_V.shape
     T = NODE_TILE
     assert N % T == 0 and L % T == 0 and N % L == 0, (N, T, L)
     C_tab = table.shape[1]
+    assert C_tab == (2 * H if dec_mode else H), (C_tab, H, dec_mode)
     in_specs, out_spec = _table_specs(T, K, H, L, C_tab, aggregate,
-                                      for_bwd=False)
+                                      for_bwd=False, save_x=save_x)
     kernel = functools.partial(_fwd_kernel_table, K=K,
                                compute_dtype=compute_dtype,
-                               dec_mode=dec_mode, aggregate=aggregate)
+                               dec_mode=dec_mode, aggregate=aggregate,
+                               save_x=save_x)
     out_shape = jax.ShapeDtypeStruct((N, H) if aggregate else (N * K, H),
                                      h_V.dtype)
+    if save_x:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((N * K, H), h_V.dtype)]
     return pl.pallas_call(
         kernel, grid=(N // T,), in_specs=in_specs, out_specs=out_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * K * H * (3 * H + L),
-            bytes_accessed=(N * K * H * 2 + N * H * 2) * 4,
+            flops=2 * N * K * H * (3 * H + C_tab * L // H),
+            bytes_accessed=(N * K * H * (3 if save_x else 2)
+                            + N * H * 2) * 4,
             transcendentals=N * K * H * 2,
         ),
         interpret=interpret,
-    )(h_V, e_in, table, eidx, mask_att, mbw, mfw, wa, wb, b1, w2, b2, w3, b3)
+    )(h_V, e_in, table, eidx, mask_att, mbw, wa, wb, b1, w2, b2, w3, b3)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "L", "compute_dtype",
+@functools.partial(jax.jit, static_argnames=("K", "L", "C_tab",
+                                             "compute_dtype",
                                              "dec_mode", "aggregate",
                                              "interpret"))
-def _message_table_bwd_call(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+def _message_table_bwd_call(h_V, e_in, x, eidx, mask_att, mbw,
                             wa, wb, b1, w2, b2, w3, b3, g,
-                            K, L, compute_dtype, dec_mode, aggregate,
+                            K, L, C_tab, compute_dtype, dec_mode, aggregate,
                             interpret):
     N, H = h_V.shape
     T = NODE_TILE
-    C_tab = table.shape[1]
     in_specs, out_specs = _table_specs(T, K, H, L, C_tab, aggregate,
                                        for_bwd=True)
     kernel = functools.partial(_bwd_kernel_table, K=K,
                                compute_dtype=compute_dtype,
-                               dec_mode=dec_mode, aggregate=aggregate)
+                               dec_mode=dec_mode, aggregate=aggregate, L=L)
     f32 = jnp.float32
     out_shapes = [
         jax.ShapeDtypeStruct((N, H), h_V.dtype),       # g_hV
         jax.ShapeDtypeStruct((N * K, H), e_in.dtype),  # g_ein
-        jax.ShapeDtypeStruct(table.shape, f32),        # g_table
+        jax.ShapeDtypeStruct((N, C_tab), f32),         # g_table
         jax.ShapeDtypeStruct((H, H), f32),             # dwa
         jax.ShapeDtypeStruct((H, H), f32),             # dwb
         jax.ShapeDtypeStruct((1, H), f32),             # db1
@@ -511,52 +524,62 @@ def _message_table_bwd_call(h_V, e_in, table, eidx, mask_att, mbw, mfw,
         kernel, grid=(N // T,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=4 * N * K * H * (3 * H + L),
-            bytes_accessed=(N * K * H * 4 + N * H * 4) * 4,
+            flops=2 * N * K * H * (5 * H + C_tab * L // H),
+            bytes_accessed=(N * K * H * 5 + N * H * 4) * 4,
             transcendentals=N * K * H * 4,
         ),
         interpret=interpret,
-    )(h_V, e_in, table, eidx, mask_att, mbw, mfw, wa, wb, b1, w2, b2, w3, b3,
-      g)
+    )(h_V, e_in, x, eidx, mask_att, mbw, wa, wb, b1, w2, b2, w3, b3, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19))
-def message_mlp_table(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
+def message_mlp_table(h_V, e_in, table, eidx, mask_att, mbw,
                       wa, wb, b1, w2, b2, w3, b3,
                       K, L, compute_dtype, dec_mode, aggregate, interpret):
     """Fused message MLP with in-kernel neighbor gather (see module notes).
-    eidx/mask_att/mbw/mfw are structural (zero cotangents); table/e_in/h_V
-    and all weights are differentiable."""
+    eidx/mask_att/mbw are structural (zero cotangents); table/e_in/h_V
+    and all weights are differentiable. Under differentiation the forward
+    additionally saves the pre-GELU activations x (an [N*K, H] trunk-dtype
+    tensor) so the backward kernel resumes from x instead of re-running the
+    gather — the HBM round-trip for x is ~10x cheaper than the one-hot
+    gather matmul recompute at training shapes."""
     return _message_table_fwd_call(h_V, e_in, table, eidx, mask_att, mbw,
-                                   mfw, wa, wb, b1, w2, b2, w3, b3,
+                                   wa, wb, b1, w2, b2, w3, b3,
                                    K, L, compute_dtype, dec_mode, aggregate,
-                                   interpret)
+                                   interpret, save_x=False)
 
 
-def _message_mlp_table_fwd(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+def _message_mlp_table_fwd(h_V, e_in, table, eidx, mask_att, mbw,
                            wa, wb, b1, w2, b2, w3, b3,
                            K, L, compute_dtype, dec_mode, aggregate,
                            interpret):
-    out = message_mlp_table(h_V, e_in, table, eidx, mask_att, mbw, mfw,
-                            wa, wb, b1, w2, b2, w3, b3,
-                            K, L, compute_dtype, dec_mode, aggregate,
-                            interpret)
-    return out, (h_V, e_in, table, eidx, mask_att, mbw, mfw,
+    from jax.ad_checkpoint import checkpoint_name
+    out, x = _message_table_fwd_call(h_V, e_in, table, eidx, mask_att, mbw,
+                                     wa, wb, b1, w2, b2, w3, b3,
+                                     K, L, compute_dtype, dec_mode, aggregate,
+                                     interpret, save_x=True)
+    # Under the layer-level jax.checkpoint policy (save_only msg_kernel_out)
+    # x must be SAVED, not recomputed — recomputing it would re-run this
+    # forward kernel in the backward pass, defeating the point.
+    x = checkpoint_name(x, "msg_kernel_out")
+    return out, (h_V, e_in, x, eidx, mask_att, mbw,
                  wa, wb, b1, w2, b2, w3, b3)
 
 
 def _message_mlp_table_bwd(K, L, compute_dtype, dec_mode, aggregate,
                            interpret, res, g):
-    (h_V, e_in, table, eidx, mask_att, mbw, mfw,
+    (h_V, e_in, x, eidx, mask_att, mbw,
      wa, wb, b1, w2, b2, w3, b3) = res
+    H = h_V.shape[1]
+    C_tab = 2 * H if dec_mode else H
     (g_hV, g_ein, g_tab, dwa, dwb, db1, dw2, db2, dw3, db3) = \
-        _message_table_bwd_call(h_V, e_in, table, eidx, mask_att, mbw, mfw,
+        _message_table_bwd_call(h_V, e_in, x, eidx, mask_att, mbw,
                                 wa, wb, b1, w2, b2, w3, b3, g,
-                                K, L, compute_dtype, dec_mode, aggregate,
-                                interpret)
-    return (g_hV, g_ein, g_tab.astype(table.dtype), jnp.zeros_like(eidx),
+                                K, L, C_tab, compute_dtype, dec_mode,
+                                aggregate, interpret)
+    return (g_hV, g_ein, g_tab.astype(h_V.dtype), jnp.zeros_like(eidx),
             jnp.zeros_like(mask_att), jnp.zeros_like(mbw),
-            jnp.zeros_like(mfw), dwa.astype(wa.dtype), dwb.astype(wb.dtype),
+            dwa.astype(wa.dtype), dwb.astype(wb.dtype),
             db1.astype(b1.dtype), dw2.astype(w2.dtype), db2.astype(b2.dtype),
             dw3.astype(w3.dtype), db3.astype(b3.dtype))
 
@@ -647,7 +670,7 @@ def message_agg_table_batched(p, h_V, h_E, table, E_idx, mask_att, *,
     dh = message_mlp_table(
         _flat_nodes(h_V, N), _flat_edges(h_E, N),
         table.reshape(N, H), _flat_eidx(E_idx),
-        _flat_edges(mask_att[..., None], N).astype(h_V.dtype), z1, z1,
+        _flat_edges(mask_att[..., None], N).astype(h_V.dtype), z1,
         wsplit[:H], wsplit[H:2 * H], p[w1]["b"][None, :],
         p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
         K, L, compute_dtype, False, True, interpret)
@@ -665,20 +688,25 @@ def message_edge_table_batched(p, h_V, h_E, table, E_idx, *,
     ones1 = jnp.ones((N * K, 1), h_V.dtype)
     m = message_mlp_table(
         _flat_nodes(h_V, N), _flat_edges(h_E, N),
-        table.reshape(N, H), _flat_eidx(E_idx), ones1, ones1, ones1,
+        table.reshape(N, H), _flat_eidx(E_idx), ones1, ones1,
         wsplit[:H], wsplit[H:2 * H], p[w1]["b"][None, :],
         p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
         K, L, compute_dtype, False, False, interpret)
     return m[:N * K].reshape(B, L, K, H)
 
 
-def message_dec_table_batched(p, h_V, h_E, table3, E_idx, mask, mask_bw,
-                              mask_fw, *, compute_dtype=jnp.float32,
+def message_dec_table_batched(p, h_V, h_E, table2, E_idx, mask, mask_bw,
+                              *, compute_dtype=jnp.float32,
                               interpret=False):
-    """Parallel-decode node update with the three neighbor terms gathered
-    in-kernel: table3 [B, L, 3H] = concat(h_S@ws, h_V@wv, h_Venc@wv);
-    x = rep@(h_V@wa) + mask_1d*(h_E@wb) + mask_bw*(sel0+sel1) + mask_fw*sel2
-    + b1 (models.mpnn.edge_context semantics). -> dh [B, L, H]."""
+    """Parallel-decode node update with the neighbor context gathered
+    in-kernel from a 2H table [A | B], A = h_S@ws + h_Vcur@wv - h_Venc@wv,
+    B = h_Venc@wv:
+      ctx = mask_bw*selA + mask_1d*selB
+          = mask_bw*(sel(h_S@ws) + sel(h_Vcur@wv)) + mask_fw*sel(h_Venc@wv)
+    exactly, because mask_fw = mask_1d - mask_bw (models.mpnn.
+    autoregressive_edge_masks; reference semantics na_model_utils.py:632-639).
+    One H-column narrower than the naive 3H table => 1/3 fewer gather-matmul
+    flops. -> dh [B, L, H]."""
     B, L, K, H = h_E.shape
     N = B * L
     assert table_gather_ok(B, L), (B, L)
@@ -690,8 +718,8 @@ def message_dec_table_batched(p, h_V, h_E, table3, E_idx, mask, mask_bw,
     m1d = jnp.broadcast_to(mask[:, :, None], (B, L, K))
     dh = message_mlp_table(
         _flat_nodes(h_V, N), _flat_edges(h_E, N),
-        table3.reshape(N, 3 * H), _flat_eidx(E_idx),
-        edge1(m1d), edge1(mask_bw[..., 0]), edge1(mask_fw[..., 0]),
+        table2.reshape(N, 2 * H), _flat_eidx(E_idx),
+        edge1(m1d), edge1(mask_bw[..., 0]),
         wsplit[:H], wsplit[H:2 * H], p["W1"]["b"][None, :],
         p["W2"]["w"], p["W2"]["b"][None, :], p["W3"]["w"],
         p["W3"]["b"][None, :],

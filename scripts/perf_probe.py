@@ -155,7 +155,7 @@ def main():
         def feat_fn(carry, batch):
             b = dict(batch)
             b["X"] = batch["X"] + carry * 0.0
-            V, E, E_idx = features_apply(params["features"], fwd_cfg, b)
+            V, E, E_idx, _ = features_apply(params["features"], fwd_cfg, b)
             return jnp.sum(E) + jnp.sum(V)
         out["featurizer_ms"] = _chain_timer(feat_fn, (batch,), 20) * 1e3
 
