@@ -157,36 +157,43 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
                                            mask_attend, compute_dtype=cdt,
                                            interpret=interpret_mode())
             return h_V, h_E, E_idx
-        if deterministic:
-            # Same differentiable kernels, inference mode (key=None): the
-            # in-kernel neighbor gather beats the fully-fused path's XLA
-            # pre-gathers.
-            for layer_params in params["encoder"]:
-                h_V, h_E = _enc_layer_train_fused(
-                    layer_params, h_V, h_E, mask_attend, None, 0.0, cdt,
-                    E_idx, mask)
-            return h_V, h_E, E_idx
-        # Training: differentiable Pallas message kernels (custom VJP with
-        # in-kernel rematerialization); dropout + norms/FFN stay in XLA.
-        # jax.checkpoint still wraps the whole layer: although the kernels'
-        # VJP saves only layer inputs, the XLA tail (dropout masks, norms,
-        # FFN, edge residual) would otherwise pin ~300MB/layer of residuals —
-        # measured 40x slower on-relay without the remat. The policy keeps
-        # the kernel OUTPUTS saved so the backward pass does not re-run the
-        # forward kernels (it only re-runs the cheap XLA tail).
-        if cfg.remat == "none":
-            for i, layer_params in enumerate(params["encoder"]):
-                h_V, h_E = _enc_layer_train_fused(
-                    layer_params, h_V, h_E, mask_attend, layer_keys[i],
-                    cfg.dropout, cdt, E_idx, mask)
-            return h_V, h_E, E_idx
-        policy = jax.checkpoint_policies.save_only_these_names("msg_kernel_out")
-        for i, layer_params in enumerate(params["encoder"]):
-            h_V, h_E = jax.checkpoint(_enc_layer_train_fused,
-                                      static_argnums=(5, 6), policy=policy)(
-                layer_params, h_V, h_E, mask_attend, layer_keys[i],
-                cfg.dropout, cdt, E_idx, mask)
-        return h_V, h_E, E_idx
+        if table_gather_ok(B, L):
+            # Flat-edge path (train AND eval): edge tensors stay [N*K, H]
+            # across the whole stack; dropout + norms/FFN in XLA. Under
+            # training, jax.checkpoint wraps each layer: the XLA tail
+            # (dropout masks, norms, FFN, edge residual) would otherwise
+            # pin ~300MB/layer of residuals — measured 40x slower on-relay
+            # without the remat. The policy keeps the kernel OUTPUTS (incl.
+            # the saved pre-GELU activations x) so the backward pass never
+            # re-runs the forward kernels.
+            N, K = B * L, E_idx.shape[2]
+            H = h_V.shape[-1]
+            h_E2 = h_E.reshape(N * K, H)
+            mask_att2 = mask_attend.reshape(N * K, 1).astype(h_V.dtype)
+            from ..ops.message_kernels import _flat_eidx
+            eidx2 = _flat_eidx(E_idx)
+            if deterministic:
+                for layer_params in params["encoder"]:
+                    h_V, h_E2 = _enc_layer_train_fused(
+                        layer_params, h_V, h_E2, mask_att2, None, 0.0, cdt,
+                        eidx2, mask, L)
+            elif cfg.remat == "none":
+                for i, layer_params in enumerate(params["encoder"]):
+                    h_V, h_E2 = _enc_layer_train_fused(
+                        layer_params, h_V, h_E2, mask_att2, layer_keys[i],
+                        cfg.dropout, cdt, eidx2, mask, L)
+            else:
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "msg_kernel_out")
+                ckpt_layer = jax.checkpoint(_enc_layer_train_fused,
+                                            static_argnums=(5, 6, 9),
+                                            policy=policy)
+                for i, layer_params in enumerate(params["encoder"]):
+                    h_V, h_E2 = ckpt_layer(
+                        layer_params, h_V, h_E2, mask_att2, layer_keys[i],
+                        cfg.dropout, cdt, eidx2, mask, L)
+            return h_V, h_E2.reshape(B, L, K, H), E_idx
+        # Training at a non-bucketed shape: plain XLA layers below.
 
     for i, layer_params in enumerate(params["encoder"]):
         if not deterministic and cfg.remat != "none":
@@ -199,56 +206,51 @@ def encode(params, cfg: ModelConfig, batch, key: Optional[jax.Array] = None,
     return h_V, h_E, E_idx
 
 
-def _enc_layer_train_fused(p, h_V, h_E, mask_attend, key, rate, cdt, E_idx, mask):
+def _enc_layer_train_fused(p, h_V, h_E2, mask_att2, key, rate, cdt, eidx2,
+                           mask, L):
     """Encoder layer for training on the Pallas message kernels: same math as
     modules.enc_layer_apply (node update + edge update) with the edge-message
-    MLPs in ops.message_kernels (differentiable custom VJP)."""
+    MLPs in ops.message_kernels (differentiable custom VJP).
+
+    Edge tensors ride FLAT [N*K, H] end-to-end (h_E2, mask_att2, eidx2):
+    the [B,L,K,H] form never exists between featurization and the decoder,
+    which removes the relayout copies XLA otherwise inserts around every
+    kernel call (~3 ms/step profiled at the 6000-token shape)."""
     from .modules import dropout, layer_norm, pff_apply
     from ..ops import interpret_mode
-    from ..ops.message_kernels import message_agg_batched, message_edge_batched
+    from jax.ad_checkpoint import checkpoint_name
+    from ..ops.message_kernels import (message_agg_table_flat,
+                                       message_edge_table_flat)
 
     interp = interpret_mode()
     if key is not None:
         k1, k2, k3 = jax.random.split(key, 3)
     else:
         k1 = k2 = k3 = None
+    B = mask.shape[0]
     H = h_V.shape[-1]
+    N = B * L
+    K = h_E2.shape[0] // N
     deterministic = key is None
 
-    from jax.ad_checkpoint import checkpoint_name
-    from ..ops.message_kernels import (message_agg_table_batched,
-                                       message_edge_table_batched,
-                                       table_gather_ok)
-
-    B, L = mask.shape
-    use_table = table_gather_ok(B, L)
+    h_V2 = h_V.reshape(N, H)
     wc = p["W1"]["w"][2 * H:]
-    if use_table:
-        dh = message_agg_table_batched(p, h_V, h_E, jnp.dot(h_V, wc), E_idx,
-                                       mask_attend, compute_dtype=cdt,
-                                       interpret=interp)
-    else:
-        G = gather_nodes(jnp.dot(h_V, wc), E_idx)
-        dh = message_agg_batched(p, h_V, h_E, G, mask_attend, contract_e=True,
-                                 compute_dtype=cdt, interpret=interp)
-    dh = checkpoint_name(dh, "msg_kernel_out")
+    dh = message_agg_table_flat(p, h_V2, h_E2, jnp.dot(h_V2, wc), eidx2,
+                                mask_att2, K=K, L=L, compute_dtype=cdt,
+                                interpret=interp)
+    dh = checkpoint_name(dh.reshape(B, L, H), "msg_kernel_out")
     h_V = layer_norm(p["norm1"], h_V + dropout(dh, rate, k1, deterministic))
     dh = pff_apply(p["dense"], h_V)
     h_V = layer_norm(p["norm2"], h_V + dropout(dh, rate, k2, deterministic))
     h_V = mask[..., None] * h_V
 
+    h_V2 = h_V.reshape(N, H)
     wc11 = p["W11"]["w"][2 * H:]
-    if use_table:
-        m = message_edge_table_batched(p, h_V, h_E, jnp.dot(h_V, wc11),
-                                       E_idx, compute_dtype=cdt,
-                                       interpret=interp)
-    else:
-        G11 = gather_nodes(jnp.dot(h_V, wc11), E_idx)
-        m = message_edge_batched(p, h_V, h_E, G11, compute_dtype=cdt,
-                                 interpret=interp)
+    m = message_edge_table_flat(p, h_V2, h_E2, jnp.dot(h_V2, wc11), eidx2,
+                                K=K, L=L, compute_dtype=cdt, interpret=interp)
     m = checkpoint_name(m, "msg_kernel_out")
-    h_E = layer_norm(p["norm3"], h_E + dropout(m, rate, k3, deterministic))
-    return h_V, h_E
+    h_E2 = layer_norm(p["norm3"], h_E2 + dropout(m, rate, k3, deterministic))
+    return h_V, h_E2
 
 
 def _use_fused_layers(cfg: ModelConfig) -> bool:
@@ -349,6 +351,19 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
                                       compute_dtype=cdt, interpret=interp)
             return h_V
 
+        B, L = mask.shape
+        if use_table:
+            # Flat-edge decoder: h_E and the per-edge masks stay [N*K, *]
+            # across the stack (see _enc_layer_train_fused notes).
+            from ..ops.message_kernels import (_flat_eidx,
+                                               message_dec_table_flat)
+            N, K = B * L, E_idx.shape[2]
+            h_E2 = h_E.reshape(N * K, H)
+            eidx2 = _flat_eidx(E_idx)
+            m1d2 = jnp.broadcast_to(mask[:, :, None],
+                                    (B, L, K)).reshape(N * K, 1)
+            mbw2 = mask_bw.reshape(N * K, 1)
+
         def run_layer_kernel(layer_params, h_V, lkey):
             if use_table:
                 (_, _, ws, wv), _ = _split_w1(layer_params, H)
@@ -359,9 +374,11 @@ def _decoder_parallel(params, cfg, h_V, h_E, E_idx, mask, h_S, mask_bw, mask_fw,
                 nodes2 = jnp.concatenate(
                     [jnp.dot(h_S, ws) + jnp.dot(h_V, wv) - venc, venc],
                     axis=-1)
-                dh = message_dec_table_batched(
-                    layer_params, h_V, h_E, nodes2, E_idx, mask, mask_bw,
-                    compute_dtype=cdt, interpret=interp)
+                dh = message_dec_table_flat(
+                    layer_params, h_V.reshape(N, H), h_E2,
+                    nodes2.reshape(N, 2 * H), eidx2, m1d2, mbw2,
+                    K=K, L=L, compute_dtype=cdt,
+                    interpret=interp).reshape(B, L, H)
             else:
                 _, e_term, ctx = edge_context(layer_params, h_V)
                 ones_att = jnp.ones(ctx.shape[:3], h_V.dtype)

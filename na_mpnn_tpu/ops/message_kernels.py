@@ -657,6 +657,52 @@ def _flat_eidx(E_idx):
     return E_idx.astype(jnp.int32).reshape(B * L * K, 1)
 
 
+def message_agg_table_flat(p, h_V2, h_E2, table2, eidx2, mask_att2, *, K, L,
+                           compute_dtype=jnp.float32, w1="W1", w2="W2",
+                           w3="W3", interpret=False):
+    """Flat-edge encoder node update: h_V2/table2 [N,H], h_E2 [N*K,H],
+    eidx2 [N*K,1] int32, mask_att2 [N*K,1]. -> dh [N,H]. Keeping edge
+    tensors flat end-to-end avoids the [B,L,K,H]<->[N*K,H] relayouts XLA
+    otherwise materializes around every kernel (~3 ms/step profiled)."""
+    H = h_V2.shape[1]
+    wsplit = p[w1]["w"]
+    z1 = jnp.zeros((h_E2.shape[0], 1), h_V2.dtype)
+    return message_mlp_table(
+        h_V2, h_E2, table2, eidx2, mask_att2.astype(h_V2.dtype), z1,
+        wsplit[:H], wsplit[H:2 * H], p[w1]["b"][None, :],
+        p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
+        K, L, compute_dtype, False, True, interpret)
+
+
+def message_edge_table_flat(p, h_V2, h_E2, table2, eidx2, *, K, L,
+                            compute_dtype=jnp.float32, w1="W11", w2="W12",
+                            w3="W13", interpret=False):
+    """Flat-edge encoder edge update: -> m [N*K, H]."""
+    H = h_V2.shape[1]
+    wsplit = p[w1]["w"]
+    ones1 = jnp.ones((h_E2.shape[0], 1), h_V2.dtype)
+    return message_mlp_table(
+        h_V2, h_E2, table2, eidx2, ones1, ones1,
+        wsplit[:H], wsplit[H:2 * H], p[w1]["b"][None, :],
+        p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
+        K, L, compute_dtype, False, False, interpret)
+
+
+def message_dec_table_flat(p, h_V2, h_E2, table2, eidx2, m1d2, mbw2, *, K, L,
+                           compute_dtype=jnp.float32, interpret=False):
+    """Flat-edge parallel-decode node update (2H table, see
+    message_dec_table_batched): -> dh [N, H]."""
+    H = h_V2.shape[1]
+    wsplit = p["W1"]["w"]
+    return message_mlp_table(
+        h_V2, h_E2, table2, eidx2, m1d2.astype(h_V2.dtype),
+        mbw2.astype(h_V2.dtype),
+        wsplit[:H], wsplit[H:2 * H], p["W1"]["b"][None, :],
+        p["W2"]["w"], p["W2"]["b"][None, :], p["W3"]["w"],
+        p["W3"]["b"][None, :],
+        K, L, compute_dtype, True, True, interpret)
+
+
 def message_agg_table_batched(p, h_V, h_E, table, E_idx, mask_att, *,
                               compute_dtype=jnp.float32, w1="W1", w2="W2",
                               w3="W3", interpret=False):
@@ -665,15 +711,12 @@ def message_agg_table_batched(p, h_V, h_E, table, E_idx, mask_att, *,
     B, L, K, H = h_E.shape
     N = B * L
     assert table_gather_ok(B, L), (B, L)
-    wsplit = p[w1]["w"]
-    z1 = jnp.zeros((N * K, 1), h_V.dtype)
-    dh = message_mlp_table(
-        _flat_nodes(h_V, N), _flat_edges(h_E, N),
-        table.reshape(N, H), _flat_eidx(E_idx),
-        _flat_edges(mask_att[..., None], N).astype(h_V.dtype), z1,
-        wsplit[:H], wsplit[H:2 * H], p[w1]["b"][None, :],
-        p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
-        K, L, compute_dtype, False, True, interpret)
+    dh = message_agg_table_flat(
+        p, _flat_nodes(h_V, N), _flat_edges(h_E, N), table.reshape(N, H),
+        _flat_eidx(E_idx),
+        _flat_edges(mask_att[..., None], N).astype(h_V.dtype),
+        K=K, L=L, compute_dtype=compute_dtype, w1=w1, w2=w2, w3=w3,
+        interpret=interpret)
     return dh.reshape(B, L, H)
 
 
@@ -684,14 +727,10 @@ def message_edge_table_batched(p, h_V, h_E, table, E_idx, *,
     B, L, K, H = h_E.shape
     N = B * L
     assert table_gather_ok(B, L), (B, L)
-    wsplit = p[w1]["w"]
-    ones1 = jnp.ones((N * K, 1), h_V.dtype)
-    m = message_mlp_table(
-        _flat_nodes(h_V, N), _flat_edges(h_E, N),
-        table.reshape(N, H), _flat_eidx(E_idx), ones1, ones1,
-        wsplit[:H], wsplit[H:2 * H], p[w1]["b"][None, :],
-        p[w2]["w"], p[w2]["b"][None, :], p[w3]["w"], p[w3]["b"][None, :],
-        K, L, compute_dtype, False, False, interpret)
+    m = message_edge_table_flat(
+        p, _flat_nodes(h_V, N), _flat_edges(h_E, N), table.reshape(N, H),
+        _flat_eidx(E_idx), K=K, L=L, compute_dtype=compute_dtype,
+        w1=w1, w2=w2, w3=w3, interpret=interpret)
     return m[:N * K].reshape(B, L, K, H)
 
 
@@ -710,18 +749,13 @@ def message_dec_table_batched(p, h_V, h_E, table2, E_idx, mask, mask_bw,
     B, L, K, H = h_E.shape
     N = B * L
     assert table_gather_ok(B, L), (B, L)
-    wsplit = p["W1"]["w"]
 
     def edge1(x):  # [B,L,K] -> [N*K, 1]
         return x.reshape(N * K, 1).astype(h_V.dtype)
 
     m1d = jnp.broadcast_to(mask[:, :, None], (B, L, K))
-    dh = message_mlp_table(
-        _flat_nodes(h_V, N), _flat_edges(h_E, N),
-        table2.reshape(N, 2 * H), _flat_eidx(E_idx),
-        edge1(m1d), edge1(mask_bw[..., 0]),
-        wsplit[:H], wsplit[H:2 * H], p["W1"]["b"][None, :],
-        p["W2"]["w"], p["W2"]["b"][None, :], p["W3"]["w"],
-        p["W3"]["b"][None, :],
-        K, L, compute_dtype, True, True, interpret)
+    dh = message_dec_table_flat(
+        p, _flat_nodes(h_V, N), _flat_edges(h_E, N), table2.reshape(N, 2 * H),
+        _flat_eidx(E_idx), edge1(m1d), edge1(mask_bw[..., 0]),
+        K=K, L=L, compute_dtype=compute_dtype, interpret=interpret)
     return dh.reshape(B, L, H)
