@@ -59,6 +59,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def sync_batch_length(np_batch: Dict) -> Dict:
+    """Multi-host per-host feed: hosts collate their local batch slices
+    independently, so their L buckets can disagree (each host buckets its
+    own longest structure). Allgather the local L and re-pad every host to
+    the global max so make_array_from_process_local_data sees one global
+    shape. One tiny (int32) collective per batch."""
+    if jax.process_count() <= 1:
+        return np_batch
+    from jax.experimental import multihost_utils
+
+    from ..train.collate import repad_length
+
+    L_local = int(np_batch["S"].shape[1])
+    all_L = np.asarray(multihost_utils.process_allgather(
+        np.int32(L_local)))
+    return repad_length(np_batch, int(all_L.max()))
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None):

@@ -92,24 +92,35 @@ def save_checkpoint_orbax(path: str, params, meta: Optional[Dict] = None,
     addressable shards; there is no host-side gather."""
     import shutil
 
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     tree = {"params": params}
     if opt_state is not None:
-        import jax
         tree["opt"] = {f"leaf{i:04d}": v
                        for i, v in enumerate(jax.tree.leaves(opt_state))}
     tmp = path + ".tmp"
-    if os.path.isdir(tmp):
+    primary = jax.process_index() == 0
+    if primary and os.path.isdir(tmp):
         shutil.rmtree(tmp)
+    if jax.process_count() > 1:
+        # Orbax's save barriers internally, but the tmp cleanup above and
+        # the meta/rename finalization below are filesystem ops only the
+        # primary host may perform.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("orbax_tmp_clean")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, tree, force=True)
-    with open(os.path.join(tmp, _ORBAX_META), "w") as f:
-        json.dump(meta or {}, f)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    if primary:
+        with open(os.path.join(tmp, _ORBAX_META), "w") as f:
+            json.dump(meta or {}, f)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("orbax_rename")
 
 
 def load_checkpoint_orbax(path: str) -> Tuple[Any, Dict, Dict[str, np.ndarray]]:

@@ -104,3 +104,30 @@ def collate_batch(structures: List[Dict], pad_to: Optional[int] = None,
     out["structure_path"] = structure_paths
     out["assembly_id"] = assembly_ids
     return out
+
+
+# Padding fill per key (the values collate_batch writes into padded rows);
+# used when a collated batch must be re-padded to a longer L after the fact
+# (multi-host per-host feed: hosts collate their local slices independently
+# and then agree on the global L bucket).
+_PAD_FILL = {"S": constants.RESTYPE_TO_INT["PAD"], "R_idx": -100,
+             "chain_labels": -1,
+             "R_polymer_type": constants.POLYTYPE_TO_INT["PAD"]}
+
+
+def repad_length(batch: Dict, L_new: int) -> Dict:
+    """Pad every [B, L, ...] array of a collated batch out to L_new along
+    axis 1, using the same fill values collate_batch uses. No-op if the
+    batch is already at L_new."""
+    L = int(batch["S"].shape[1])
+    if L == L_new:
+        return batch
+    assert L_new > L, (L, L_new)
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray) or v.ndim < 2 or v.shape[1] != L:
+            out[k] = v
+            continue
+        pad = [(0, 0), (0, L_new - L)] + [(0, 0)] * (v.ndim - 2)
+        out[k] = np.pad(v, pad, constant_values=_PAD_FILL.get(k, 0))
+    return out

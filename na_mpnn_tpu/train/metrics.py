@@ -123,6 +123,20 @@ class MetricManager:
             self.metrics[rows] += np.asarray(acc, np.float64)
         self._device_acc = {}
 
+    def all_reduce_across_hosts(self):
+        """Multi-host per-host feed: each host accumulated only its local
+        batch rows; sum the raw (pre-normalization) accumulator across
+        processes so every host logs the GLOBAL epoch metrics. Call before
+        compute_metrics."""
+        import jax
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+        self._drain_device_acc()
+        self.metrics = np.asarray(
+            multihost_utils.process_allgather(self.metrics),
+            np.float64).sum(axis=0)
+
     # -- epoch-end normalization ----------------------------------------
     def compute_metrics(self):
         self._drain_device_acc()

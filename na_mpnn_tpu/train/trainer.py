@@ -74,7 +74,8 @@ class Trainer:
 
     def __init__(self, cfg: ModelConfig, label_smoothing=0.1, loss_tokens=6000.0,
                  grad_clip_norm=1.0, na_shared_tokens=True, seed=0,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 per_host_feed: bool = False):
         self.cfg = cfg
         self.label_smoothing = label_smoothing
         self.loss_tokens = loss_tokens
@@ -82,6 +83,13 @@ class Trainer:
         self.restype_masks = make_polymer_restype_masks(na_shared_tokens)
         self.optimizer = make_optimizer(cfg.hidden_dim, grad_clip_norm=grad_clip_norm)
         self.mesh = mesh
+        # Multi-host per-host feed (VERDICT r4 item 5): each process hands
+        # train_step only its local "data"-axis rows; the global array is
+        # assembled with jax.make_array_from_process_local_data — no host
+        # ever materializes (or parses) the whole global batch. Requires a
+        # pure-DP batch layout across processes (the "graph" axis, if any,
+        # must live within a process).
+        self.per_host_feed = bool(per_host_feed) and jax.process_count() > 1
 
         key = jax.random.PRNGKey(seed)
         self.params = init_params(key, cfg)
@@ -202,6 +210,13 @@ class Trainer:
         arrays = {k: np_batch[k] for k in BATCH_KEYS if k in np_batch}
         if any(isinstance(v, jax.Array) for v in arrays.values()):
             return arrays  # caller already placed/sharded the batch
+        if self.per_host_feed and self.batch_sharding is not None:
+            # np_batch carries ONLY this process's B-rows; build the global
+            # sharded array from the per-process slices (B_global =
+            # B_local * process_count along the "data" axis).
+            return {k: jax.make_array_from_process_local_data(
+                        self.batch_sharding, np.asarray(v))
+                    for k, v in arrays.items()}
         if self.batch_sharding is not None:
             return {k: jax.device_put(v, self.batch_sharding) for k, v in arrays.items()}
         return {k: jnp.asarray(v) for k, v in arrays.items()}
@@ -214,8 +229,15 @@ class Trainer:
     # memcpy) and bitcasting it back inside the jitted step collapses that
     # to a single transfer.
 
-    _WIRE_WIDTH = {"zero": -1, "uint8": 0, "int16": 1, "q16x100": 1,
-                   "int32": 2, "float32": 2}
+    # The relay's H2D path compresses content (measured: a 720 KB buffer of
+    # zeros ships ~free behind a busy device, random bytes cost ~14 ms, small
+    # values ~5 ms), so the wire formats minimize ENTROPY as well as bytes:
+    # 0/1 masks ride bit-packed ("bits*", 8x fewer near-incompressible
+    # bytes), and quantized coordinates ride residue-to-residue DELTAS split
+    # into byte planes ("q16x100d": the high-byte plane of backbone deltas is
+    # almost all 0/-1, which the relay's compressor collapses).
+    _WIRE_WIDTH = {"zero": -1, "bits": 0, "uint8": 1, "int16": 2,
+                   "q16x100": 2, "q16x100d": 2, "int32": 3, "float32": 3}
 
     def _pack_np_batch(self, np_batch):
         """(packed uint8 [N], static layout) for one host->device transfer,
@@ -252,17 +274,21 @@ class Trainer:
             wire_name = a.dtype.name
             if a.dtype == np.int32:
                 lo, hi = int(a.min()), int(a.max())
-                if 0 <= lo and hi <= 255:
+                if 0 <= lo and hi <= 1:
+                    wire_name = "bits"
+                elif 0 <= lo and hi <= 255:
                     wire_name = "uint8"
                 elif -32768 <= lo and hi <= 32767:
                     wire_name = "int16"
             elif (k == "X" and a.dtype == np.float32 and self._quantize_x
                   and np.abs(a).max() < 327.0):
-                # Coordinates ride as 0.01-Angstrom fixed-point int16: the
+                # Coordinates ride as 0.01-Angstrom fixed-point int16 (the
                 # <=0.005 A rounding is >=10x below the gated-on backbone
-                # noise (see __init__) and halves the dominant feed
-                # segment. Structures outside +-327 A keep f32.
-                wire_name = "q16x100"
+                # noise, see __init__), DELTA-coded along the residue axis
+                # and split into byte planes so the relay's compressing
+                # transfer path sees a near-constant high-byte plane.
+                # Structures outside +-327 A keep f32.
+                wire_name = "q16x100d" if a.ndim >= 2 else "q16x100"
             # Monotonic widening against the pin (zero counts as narrowest).
             if pin is not None and (self._WIRE_WIDTH[pin]
                                     >= self._WIRE_WIDTH[wire_name]):
@@ -270,6 +296,21 @@ class Trainer:
             self._wire_pins[k] = wire_name
             if wire_name == "q16x100":
                 wire = np.round(a * 100.0).astype(np.int16)
+            elif wire_name == "q16x100d":
+                q = np.round(a * 100.0).astype(np.int16)
+                # Wraparound int16 delta along L (axis 1): exact under the
+                # device-side wrapping cumsum (values mod 2^16 round-trip).
+                d = q.copy()
+                d[:, 1:] -= q[:, :-1]
+                u = d.view(np.uint16)
+                wire = np.concatenate(
+                    [(u & 0xFF).astype(np.uint8).reshape(-1),
+                     (u >> 8).astype(np.uint8).reshape(-1)])
+            elif wire_name == "bits":
+                # 0/1 arrays bit-packed along the last axis (little-endian:
+                # bit j of byte b is element 8*b + j).
+                wire = np.packbits(a.astype(np.uint8), axis=-1,
+                                   bitorder="little")
             elif wire_name != a.dtype.name:
                 wire = a.astype(np.dtype(wire_name))
             b = np.ascontiguousarray(wire).view(np.uint8).reshape(-1)
@@ -291,6 +332,25 @@ class Trainer:
                 v = jax.lax.bitcast_convert_type(seg.reshape(-1, 2),
                                                  jnp.int16)
                 out[k] = v.reshape(shape).astype(jnp.float32) * 0.01
+                continue
+            if wire == "q16x100d":
+                # Byte planes -> u16 deltas -> wrapping cumsum along the
+                # residue axis -> int16 truncation (exact mod-2^16 inverse
+                # of the packer's wraparound delta).
+                n = size // 2
+                lo = seg[:n].astype(jnp.int32)
+                hi = seg[n:].astype(jnp.int32)
+                v = (lo | (hi << 8)).reshape(shape)
+                c = jnp.cumsum(v, axis=1)
+                out[k] = c.astype(jnp.int16).astype(jnp.float32) * 0.01
+                continue
+            if wire == "bits":
+                nbytes = -(-shape[-1] // 8)
+                b = seg.reshape(shape[:-1] + (nbytes,))
+                shifts = jax.lax.broadcasted_iota(jnp.uint8, (8,), 0)
+                bits = (b[..., None] >> shifts) & jnp.uint8(1)
+                bits = bits.reshape(shape[:-1] + (nbytes * 8,))
+                out[k] = bits[..., :shape[-1]].astype(jnp.dtype(dtype_name))
                 continue
             wdt = np.dtype(wire)
             if wdt.itemsize == 1:
@@ -481,11 +541,18 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
         mesh = make_mesh(graph_axis=int(p.get("MESH_GRAPH_AXIS", 1)))
 
     cfg = model_config_from_params(p)
+    # Per-host data feed (default on for multi-process runs; opt out with
+    # PER_HOST_FEED=0): each host parses/collates only its "data"-axis rows
+    # and the global batch is assembled from the per-process slices.
+    per_host_feed = (jax.process_count() > 1
+                     and bool(p.get("PER_HOST_FEED", 1))
+                     and int(p.get("MESH_GRAPH_AXIS", 1)) == 1)
     trainer = Trainer(cfg, label_smoothing=p["LABEL_SMOOTHING"],
                       loss_tokens=float(p["LOSS_TOKENS"]),
                       grad_clip_norm=p["GRADIENT_NORM"],
                       na_shared_tokens=bool(p["NA_SHARED_TOKENS"]),
-                      seed=int(p.get("SEED", 0)), mesh=mesh)
+                      seed=int(p.get("SEED", 0)), mesh=mesh,
+                      per_host_feed=per_host_feed)
 
     epoch0, save_step = 0, 0
     if p.get("PREV_CHECKPOINT"):
@@ -527,7 +594,9 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
                 dataset, batch_iter, num_workers=int(p.get("NUM_WORKERS", 0)),
                 # Batch dim must divide the data-parallel axis; padded rows
                 # are fully masked (PAD tokens carry no loss).
-                pad_batch_multiple=mesh.shape["data"] if mesh is not None else None)
+                pad_batch_multiple=mesh.shape["data"] if mesh is not None else None,
+                shard=((jax.process_index(), jax.process_count())
+                       if per_host_feed else None))
         else:
             loaders[split].set_clusters(batch_iter)
         return loaders[split]
@@ -554,6 +623,9 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
                 rng=split_rng)
             loader = get_loader(split, batch_iter)
             for np_batch in loader:
+                if per_host_feed:
+                    from ..parallel.mesh import sync_batch_length
+                    np_batch = sync_batch_length(np_batch)
                 if use_interface:
                     interface = {"interface": jnp.asarray(np_batch["interface_mask"]),
                                  "nonInterface": 1 - jnp.asarray(np_batch["interface_mask"])}
@@ -585,6 +657,8 @@ def run_training(config_path_or_dict, max_epochs: Optional[int] = None,
         run_split(df_valid, p["MAX_NUMBER_OF_PDBS_VALID"], "valid")
         t2 = time.time()
 
+        if per_host_feed:
+            metric_manager.all_reduce_across_hosts()
         metric_manager.compute_metrics()
         out_str = metric_manager.create_print_string(
             epoch, trainer.step,
