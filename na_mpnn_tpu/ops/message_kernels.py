@@ -37,14 +37,15 @@ import os
 from ..models.modules import MESSAGE_SCALE
 from .fused_layers import _dotp, _gelu, _rep_rows, _seg_sum
 
-# Nodes per grid step (x K edges each). 16 measured best on v5e at the
-# 6000-token training shape (16/32 sweep: 78.8 vs 85.8 ms train step, and
-# T=32 additionally overflows the 16MB scoped-VMEM limit in the decoder
-# table kernel); overridable for sweeps via env.
+# Nodes per grid step (x K edges each). 32 measured best on v5e at the
+# 6000-token training shape once the decoder table narrowed to 2H columns
+# (interleaved in-process A/B: 45.0 vs 46.2 ms device train step; with the
+# old 3H table T=32 overflowed the 16MB scoped-VMEM limit, which is why
+# earlier rounds shipped 16). Overridable for sweeps via env.
 
 
 def _node_tile_from_env() -> int:
-    raw = os.environ.get("NA_MPNN_NODE_TILE", "16")
+    raw = os.environ.get("NA_MPNN_NODE_TILE", "32")
     try:
         t = int(raw)
     except ValueError as e:
@@ -54,7 +55,7 @@ def _node_tile_from_env() -> int:
     if t <= 0 or t % 8 or t > 32:
         raise ValueError(
             f"NA_MPNN_NODE_TILE={t} invalid: need a multiple of 8 in [8, 32]")
-    if t != 16:
+    if t != 32:
         print(f"[na_mpnn_tpu] non-default NODE_TILE={t} active "
               "(all processes of a multi-host run must agree)", flush=True)
     return t

@@ -138,6 +138,61 @@ def _expansion(sq, sn):
     return EA, EB
 
 
+def _expansion_bd(sq, sn, side, dtype):
+    """Block-diagonal 0/1 expansion [3A, 3*AA] mapping the CONCATENATED
+    three coordinate planes onto three side-by-side pair grids in ONE dot:
+    plane p of the input feeds columns [p*AA, (p+1)*AA). Fusing the planes
+    triples the contraction depth (K=54 vs 18), which the MXU pads to its
+    tile anyway — one dot at K=54 beats three at K=18."""
+    q0, q1 = sq
+    n0, n1 = sn
+    An = n1 - n0
+    AA = (q1 - q0) * An
+    row = jax.lax.broadcasted_iota(jnp.int32, (3 * A, 3 * AA), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (3 * A, 3 * AA), 1)
+    p_r, a = row // A, row % A
+    p_c, c = col // AA, col % AA
+    tgt = (q0 + c // An) if side == "q" else (n0 + c % An)
+    return ((p_r == p_c) & (a == tgt)).astype(dtype)
+
+
+def _sel2(x, E):
+    """f32-accurate selection through a 0/1 matrix with two DEFAULT-precision
+    bf16 passes: x = hi + lo splits exactly enough that the reconstructed
+    selection error is <= |x| * 2^-17 (~3e-3 A at the 327 A coordinate cap —
+    ~2x below the 0.005 A wire quantization already accepted, and harmless
+    against the 1.56 A RBF sigma). Each output element is a single product,
+    so no cancellation can amplify the error. Replaces the 6-pass
+    fp32-HIGHEST dot (3x the MXU passes at the same K)."""
+    xh = x.astype(jnp.bfloat16)
+    xr = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda a: jnp.dot(a, E, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
+    return d(xh) + d(xr)
+
+
+def _pair_distances_bf16(xq, xj, mq, mj, sq, sn, K):
+    """bf16-path masked pair distances [QT*K, AA]: node-granular queries
+    (expanded BEFORE the K-fold edge replication — 1/K the query-side MXU
+    work), one block-diagonal 3-plane dot per side, bf16x2 selection."""
+    q0, q1 = sq
+    n0, n1 = sn
+    AA = (q1 - q0) * (n1 - n0)
+    Eq = _expansion_bd(sq, sn, "q", jnp.bfloat16)
+    En = _expansion_bd(sq, sn, "n", jnp.bfloat16)
+    xq_adj = jnp.concatenate(
+        [xq[:, :A] + (1.0 - mq) * MASK_FAR, xq[:, A:]], axis=1)
+    xj_adj = jnp.concatenate(
+        [xj[:, :A] - (1.0 - mj) * MASK_FAR, xj[:, A:]], axis=1)
+    Q = _rep_edges(_sel2(xq_adj, Eq), K)          # [QT*K, 3*AA]
+    J = _sel2(xj_adj, En)                         # [QT*K, 3*AA]
+    D2 = jnp.full((J.shape[0], AA), 1e-6, jnp.float32)
+    for p in range(3):
+        d = Q[:, p * AA:(p + 1) * AA] - J[:, p * AA:(p + 1) * AA]
+        D2 = D2 + d * d
+    return jnp.minimum(jnp.sqrt(D2), DIST_CAP)
+
+
 def _pair_distances(xi, xj, mi, mj, sq, sn, compute_dtype=jnp.bfloat16):
     """Masked pair distances for one block: [T, Aq*An].
 
@@ -248,12 +303,25 @@ def _bins_recursive(D, num_rbf, compute_dtype):
             for r in range(R)]
 
 
-def _rbf_block(xi, xj, mi, mj, sq, sn, num_rbf, compute_dtype):
-    """Masked RBF bins for one atom-pair block: R separate [T, Aq*An]
-    arrays (bin-r block of the kernel-order r-major table layout)."""
-    D = _pair_distances(xi, xj, mi, mj, sq, sn, compute_dtype)
+def _rbf_block(xq, xj, mq, mj, sq, sn, K, num_rbf, compute_dtype,
+               bd_dist=True):
+    """Masked RBF bins for one atom-pair block: R separate [QT*K, Aq*An]
+    arrays (bin-r block of the kernel-order r-major table layout). Queries
+    arrive NODE-granular [QT, .]; the bf16 path expands them before edge
+    replication, the exact fp32/oracle path replicates first. bd_dist
+    selects the block-diagonal bf16x2 pair grid (fastest in the forward)
+    vs the per-plane fp32-HIGHEST grid (measured faster inside the
+    dw-accumulating backward kernel)."""
     if compute_dtype == jnp.bfloat16:
+        if bd_dist:
+            D = _pair_distances_bf16(xq, xj, mq, mj, sq, sn, K)
+        else:
+            D = _pair_distances(_rep_edges(xq, K), xj, _rep_edges(mq, K),
+                                mj, sq, sn, compute_dtype)
         return _bins_recursive(D, num_rbf, compute_dtype)
+    xi = _rep_edges(xq, K)
+    mi = _rep_edges(mq, K)
+    D = _pair_distances(xi, xj, mi, mj, sq, sn, compute_dtype)
     return _bins_exact(D, num_rbf, compute_dtype)
 
 
@@ -269,36 +337,37 @@ def _rep_edges(a, K):
     return jnp.broadcast_to(a[:, None, :], (QT, K, C)).reshape(QT * K, C)
 
 
-def _tile_gid(mi, mj):
+def _tile_gid(mq, mj):
     """In-kernel tile classification from the (PERM-ordered) atom masks:
-    per-edge endpoint side codes (0 = P-block only/empty, 1 = N-block only,
-    2 = mixed), then the tile is (g_lo, pure) where pure means every edge
-    shares group g_lo.  Group encoding: 0=PP 1=PN 2=NP 3=NN, 4=mixed-side."""
+    endpoint side codes (0 = P-block only/empty, 1 = N-block only,
+    2 = mixed) of the tile's NODE-granular queries and edge-granular
+    neighbors; the tile is (g, pure) where pure means every query shares
+    one side and every neighbor shares one side. Group encoding: 0=PP 1=PN
+    2=NP 3=NN; impure tiles take the dense fallback."""
     def side_code(m):
         has_p = jnp.max(m[:, :NP_], axis=1, keepdims=True) > 0
         has_n = jnp.max(m[:, NP_:], axis=1, keepdims=True) > 0
         return (has_n.astype(jnp.int32)
-                + (has_n & has_p).astype(jnp.int32))          # [T, 1]
+                + (has_n & has_p).astype(jnp.int32))          # [rows, 1]
 
-    cq = side_code(mi)
+    cq = side_code(mq)
     cn = side_code(mj)
-    gid = jnp.where((cq < 2) & (cn < 2), 2 * cq + cn, 4)      # [T, 1]
-    g_lo = jnp.min(gid)
-    g_hi = jnp.max(gid)
-    return g_lo, (g_lo == g_hi) & (g_lo < 4)
+    q_lo, q_hi = jnp.min(cq), jnp.max(cq)
+    n_lo, n_hi = jnp.min(cn), jnp.max(cn)
+    pure = (q_lo == q_hi) & (q_lo < 2) & (n_lo == n_hi) & (n_lo < 2)
+    return 2 * q_lo + n_lo, pure
 
 
 def _fwd_kernel(xq_ref, xj_ref, mq_ref, mj_ref, w0_ref, w1_ref,
                 w2_ref, w3_ref, out_ref, *, K, num_rbf, compute_dtype):
-    xi = _rep_edges(xq_ref[:], K)
-    mi = _rep_edges(mq_ref[:], K)
+    xq, mq = xq_ref[:], mq_ref[:]
     xj, mj = xj_ref[:], mj_ref[:]
     w_refs = [w0_ref, w1_ref, w2_ref, w3_ref]
     precision = _proj_precision(compute_dtype)
-    g_lo, pure = _tile_gid(mi, mj)
+    g_lo, pure = _tile_gid(mq, mj)
 
     def block(g):
-        bins = _rbf_block(xi, xj, mi, mj, *GROUP_SLICES[g], num_rbf,
+        bins = _rbf_block(xq, xj, mq, mj, *GROUP_SLICES[g], K, num_rbf,
                           compute_dtype)
         AA = bins[0].shape[1]
         w = w_refs[g]
@@ -324,12 +393,11 @@ def _fwd_kernel(xq_ref, xj_ref, mq_ref, mj_ref, w0_ref, w1_ref,
 
 def _bwd_kernel(xq_ref, xj_ref, mq_ref, mj_ref, g_ref, dw0_ref,
                 dw1_ref, dw2_ref, dw3_ref, *, K, num_rbf, compute_dtype):
-    xi = _rep_edges(xq_ref[:], K)
-    mi = _rep_edges(mq_ref[:], K)
+    xq, mq = xq_ref[:], mq_ref[:]
     xj, mj = xj_ref[:], mj_ref[:]
     dw_refs = [dw0_ref, dw1_ref, dw2_ref, dw3_ref]
     precision = _proj_precision(compute_dtype)
-    g_lo, pure = _tile_gid(mi, mj)
+    g_lo, pure = _tile_gid(mq, mj)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -337,7 +405,7 @@ def _bwd_kernel(xq_ref, xj_ref, mq_ref, mj_ref, g_ref, dw0_ref,
             dw[:] = jnp.zeros_like(dw)
 
     def accum(g):
-        bins = _rbf_block(xi, xj, mi, mj, *GROUP_SLICES[g], num_rbf,
+        bins = _rbf_block(xq, xj, mq, mj, *GROUP_SLICES[g], K, num_rbf,
                           compute_dtype)
         AA = bins[0].shape[1]
         gt = g_ref[:].astype(compute_dtype)

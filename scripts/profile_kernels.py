@@ -161,11 +161,16 @@ def main():
     timers["rbf_fwd"] = chain(rbf_fwd, (X_aug,), 20)
 
     def rbf_vjp(c, X_aug):
-        def f(x):
-            out = rbf_edge_features_classed(x, X_m_aug, E_idx, W[n_pos:],
-                                            compute_dtype=cdt)
+        # Differentiate w.r.t. the WEIGHTS: coordinates are stop_gradient'd
+        # inside the classed kernel, so a grad w.r.t. X_aug would DCE the
+        # whole dw kernel and time nothing (the r4 version of this probe
+        # made exactly that mistake — its 1.2 ms "rbf backward" was a
+        # zero-cotangent no-op).
+        def f(w):
+            out = rbf_edge_features_classed(X_aug + c * 0.0, X_m_aug, E_idx,
+                                            w, compute_dtype=cdt)
             return jnp.sum(out)
-        v, g = jax.value_and_grad(f)(X_aug + c * 0.0)
+        v, g = jax.value_and_grad(f)(W[n_pos:])
         return v + jnp.sum(g) * 0
     timers["rbf_fwd_bwd"] = chain(rbf_vjp, (X_aug,), 10)
 

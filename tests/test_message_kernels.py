@@ -46,6 +46,21 @@ def test_classed_rbf_matches_dense(rbf_case):
     assert _rel(ref, out) < 2e-6
 
 
+def test_classed_rbf_bf16_path_matches_dense(rbf_case):
+    """The bf16 production path (block-diagonal bf16x2 pair-grid selection
+    + geometric bin recursion) must track the dense fp32 reference to bf16
+    resolution; masked pairs must still contribute exactly 0."""
+    X, Xm, E_idx, W = rbf_case
+    ref = all_pair_rbf(X, E_idx, Xm, 16) @ W
+    out = rbf_edge_features_classed(X, Xm, E_idx, W,
+                                    compute_dtype=jnp.bfloat16,
+                                    interpret=True)
+    assert _rel(ref, out) < 3e-2
+    # rows whose query has no atoms at all (fully masked) must be exactly 0
+    empty = np.asarray(ref) == 0.0
+    assert np.all(np.asarray(out)[empty] == 0.0)
+
+
 def test_classed_rbf_weight_gradient(rbf_case):
     X, Xm, E_idx, W = rbf_case
     g1 = jax.grad(lambda w: jnp.sum(
