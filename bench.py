@@ -170,8 +170,13 @@ def bench_step_decomposition(cfg, np_batch, peak_tflops, peak_gbs):
     grads_const = jax.tree.map(jnp.ones_like, params)
 
     def opt_fn(carry, grads, opt_state, params):
+        # Matches the trainer's fused path: ravel the grad tree, run the
+        # whole optax chain on one flat vector, unravel the updates.
+        from jax.flatten_util import ravel_pytree
         g = jax.tree.map(lambda x: x + carry * 0.0, grads)
-        updates, _ = trainer.optimizer.update(g, opt_state, params)
+        flat_g, _ = ravel_pytree(g)
+        updates_flat, _ = trainer.optimizer.update(flat_g, opt_state)
+        updates = trainer._unravel_params(updates_flat)
         return sum(jnp.sum(u) * 0.0 for u in jax.tree.leaves(updates)) + carry * 0.0
 
     lp0 = jnp.zeros(np_batch["S"].shape + (cfg.num_letters,), jnp.float32)

@@ -84,7 +84,8 @@ def _empty_local_batch(dataset, B_loc, L=64):
     from .. import constants
     from ..train.collate import collate_batch
 
-    nA = len(getattr(dataset.config, "atom_list_to_save", ())) or 16
+    ds_cfg = getattr(dataset, "cfg", None) or getattr(dataset, "config", None)
+    nA = len(getattr(ds_cfg, "atom_list_to_save", ())) or 16
     s = {
         "X": np.zeros([1, nA, 3], np.float32),
         "X_m": np.zeros([1, nA], np.int32),

@@ -93,7 +93,15 @@ class Trainer:
 
         key = jax.random.PRNGKey(seed)
         self.params = init_params(key, cfg)
-        self.opt_state = self.optimizer.init(self.params)
+        # The optimizer runs FUSED over one raveled parameter vector: per-leaf
+        # Adam over the 371-leaf tree emits ~3000 tiny HLO ops and measured
+        # 2.4 ms/step standalone (2.8% of its roofline bound); one flat
+        # [P]-vector Adam is ~10 ops. Same math elementwise; the global-norm
+        # clip reduces over one vector instead of per-leaf partials (same
+        # value up to float reduction order).
+        from jax.flatten_util import ravel_pytree
+        flat0, self._unravel_params = ravel_pytree(self.params)
+        self.opt_state = self.optimizer.init(flat0)
         self.step = 0
 
         # Edge-partitioned (graph-parallel) training when the mesh carries a
@@ -189,9 +197,12 @@ class Trainer:
     def _train_step_impl(self, params, opt_state, batch, key):
         (loss_av, (log_probs, mfl, loss_per_token)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(params, batch, key)
-        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        from jax.flatten_util import ravel_pytree
+        flat_grads, _ = ravel_pytree(grads)
+        updates_flat, opt_state = self.optimizer.update(flat_grads, opt_state)
         import optax
-        params = optax.apply_updates(params, updates)
+        params = optax.apply_updates(params,
+                                     self._unravel_params(updates_flat))
         # loss_per_token rides the loss aux — the metric table reuses it
         # instead of recomputing loss_smoothed.
         metrics = self._metrics_from_logprobs(batch, log_probs, mfl,
@@ -458,10 +469,26 @@ class Trainer:
         self.params = jax.tree.map(jnp.asarray, params)
         if opt_flat:
             flat_target, treedef = jax.tree.flatten(self.opt_state)
-            assert len(flat_target) == len(opt_flat), "optimizer state mismatch"
-            loaded = [jnp.asarray(opt_flat[f"leaf{i:04d}"])
-                      for i in range(len(flat_target))]
-            self.opt_state = jax.tree.unflatten(treedef, loaded)
+            loaded = [np.asarray(opt_flat[f"leaf{i:04d}"])
+                      for i in range(len(opt_flat))]
+            if len(loaded) != len(flat_target):
+                # Legacy per-leaf optimizer checkpoint (count, mu x N_leaves,
+                # nu x N_leaves, schedule count) -> fused flat layout
+                # (count, mu_flat, nu_flat, count): each flat moment vector
+                # is the tree-order concatenation of the raveled per-leaf
+                # moments — the exact ravel_pytree order.
+                n = (len(loaded) - 2) // 2
+                assert len(loaded) == 2 * n + 2, \
+                    f"optimizer state mismatch ({len(loaded)} leaves)"
+                mu = np.concatenate([x.reshape(-1) for x in loaded[1:1 + n]])
+                nu = np.concatenate(
+                    [x.reshape(-1) for x in loaded[1 + n:1 + 2 * n]])
+                loaded = [loaded[0], mu, nu, loaded[-1]]
+                assert len(loaded) == len(flat_target), "optimizer state mismatch"
+                assert mu.size == np.size(flat_target[1]), \
+                    (mu.size, np.size(flat_target[1]))
+            self.opt_state = jax.tree.unflatten(
+                treedef, [jnp.asarray(x) for x in loaded])
         self.step = int(meta.get("step", 0))
         if self.param_sharding is not None:
             self.params = jax.device_put(self.params, self.param_sharding)

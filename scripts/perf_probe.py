@@ -100,8 +100,11 @@ def main():
         if "opt" in stages:
             grads = jax.tree.map(jnp.ones_like, params)
             def opt_fn(carry, grads, opt_state, params):
+                from jax.flatten_util import ravel_pytree
                 g = jax.tree.map(lambda x: x + carry * 0.0, grads)
-                updates, _ = trainer.optimizer.update(g, opt_state, params)
+                flat_g, _ = ravel_pytree(g)
+                updates_flat, _ = trainer.optimizer.update(flat_g, opt_state)
+                updates = trainer._unravel_params(updates_flat)
                 return sum(jnp.sum(u) * 0.0 for u in jax.tree.leaves(updates)) + carry * 0
             out["opt_ms"] = _chain_timer(opt_fn, (grads, opt_state, params), 20) * 1e3
 

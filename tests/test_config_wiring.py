@@ -45,6 +45,7 @@ def _widen_to_all_atoms(batch):
     return {**batch, "X": X, "X_m": X_m}
 
 
+@pytest.mark.slow
 def test_all_atom_table_forward_parity():
     """float64 parity of the training forward on the 65-atom table
     (ATOMS_TO_LOAD="all"): same math as the reference model built with the

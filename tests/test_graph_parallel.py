@@ -1,6 +1,12 @@
-"""Edge-partitioned forward vs the single-device forward on a virtual mesh."""
+"""Edge-partitioned forward vs the single-device forward on a virtual mesh.
+
+Every test here compiles shard_map programs over the virtual 8-device CPU
+mesh — minutes each — so the whole module is marked slow (run with
+``pytest -m slow``; the default suite excludes it)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

@@ -131,6 +131,7 @@ def test_message_edge_forward_and_grad(layer_case):
     assert _rel(ga, gb) < 5e-6
 
 
+@pytest.mark.slow
 def test_training_forward_fused_matches_xla(monkeypatch):
     """Full train-mode forward + gradients: Pallas kernel path (interpret)
     vs the XLA path, same keys, dropout off (different RNG streams)."""
@@ -158,6 +159,7 @@ def test_training_forward_fused_matches_xla(monkeypatch):
         assert float(jnp.abs(a - b).max()) <= 1e-4 * (float(jnp.abs(a).max()) + 1e-6)
 
 
+@pytest.mark.slow
 def test_training_forward_fused_dropout_finite(monkeypatch):
     """Kernel path with dropout+noise on: runs and yields finite grads."""
     monkeypatch.setattr(ops, "INTERPRET", True)

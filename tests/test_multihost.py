@@ -263,7 +263,23 @@ def test_loader_shard_slices_clusters():
         got = np.concatenate([parts[0][k], parts[1][k]], axis=0)
         np.testing.assert_array_equal(got, full[k], err_msg=k)
 
+    # A host whose whole slice fails to parse still yields a batch (fully
+    # masked), keeping per-host batch counts aligned.
+    class FailTail(StubDataset):
+        def loader(self, example, assembly_id):
+            if example["i"] >= 3:
+                self.calls.append(example["i"])
+                return None
+            return super().loader(example, assembly_id)
 
+    ds = FailTail()
+    b = list(PrefetchLoader(ds, clusters, num_workers=0,
+                            pad_batch_multiple=2, shard=(1, 2)))[0]
+    assert b["S"].shape[0] == 3
+    assert np.all(b["mask"] == 0)
+
+
+@pytest.mark.slow
 def test_two_process_per_host_feed_matches_replicated():
     """Per-host sharded data feed (each process ships only its B-rows via
     jax.make_array_from_process_local_data) must produce a loss trajectory
@@ -273,6 +289,7 @@ def test_two_process_per_host_feed_matches_replicated():
     assert marks[0] == marks[1], marks
 
 
+@pytest.mark.slow
 def test_two_process_orbax_checkpoint_roundtrip(tmp_path):
     """2 processes x 2 devices: train 2 steps, orbax-save (per-host sharded
     writes), restart both processes, restore, and verify steps 3-4 continue
@@ -288,6 +305,7 @@ def test_two_process_orbax_checkpoint_roundtrip(tmp_path):
     assert tail_a[0] == tail_b[0], (tail_a, tail_b)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_train_step(tmp_path):
     """One jitted train step (grads psum'd by GSPMD over gloo) across two
     real processes x 2 devices: both hosts must agree bit-for-bit on the
@@ -324,6 +342,7 @@ def test_two_process_distributed_train_step(tmp_path):
     assert marks[0] == marks[1], marks  # hosts agree on the loss trajectory
 
 
+@pytest.mark.slow
 def test_two_process_distributed_psum(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

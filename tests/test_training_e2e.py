@@ -291,6 +291,42 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert int(trainer.restore(path)["epoch"]) == 3
 
 
+def test_restore_legacy_per_leaf_optimizer_state(tmp_path):
+    """Checkpoints written by the pre-fused optimizer (per-leaf Adam: count,
+    mu x N, nu x N, schedule count) must restore into the fused flat layout
+    with the moments concatenated in tree order."""
+    import jax
+    from na_mpnn_tpu.models import ModelConfig
+    from na_mpnn_tpu.train.checkpoint import save_checkpoint_npz
+    from na_mpnn_tpu.train.trainer import Trainer
+
+    cfg = ModelConfig(hidden_dim=32, num_encoder_layers=1,
+                      num_decoder_layers=1, k_neighbors=8)
+    t = Trainer(cfg, seed=0)
+    leaves = [np.asarray(v) for v in jax.tree.leaves(t.params)]
+    rng = np.random.RandomState(0)
+    mu = [rng.randn(*l.shape).astype(np.float32) for l in leaves]
+    nu = [rng.rand(*l.shape).astype(np.float32) for l in leaves]
+    legacy = {"leaf0000": np.asarray(7, np.int32)}
+    for i, x in enumerate(mu + nu):
+        legacy[f"leaf{i + 1:04d}"] = x
+    legacy[f"leaf{1 + 2 * len(leaves):04d}"] = np.asarray(7, np.int32)
+
+    path = str(tmp_path / "legacy.npz")
+    params_host = jax.tree.map(np.asarray, t.params)
+    save_checkpoint_npz(path, params_host, meta={"step": 9},
+                        opt_state_flat=legacy)
+    t2 = Trainer(cfg, seed=1)
+    t2.restore(path)
+    got = [np.asarray(v) for v in jax.tree.leaves(t2.opt_state)]
+    assert len(got) == 4
+    assert int(got[0]) == 7 and int(got[-1]) == 7
+    np.testing.assert_array_equal(
+        got[1], np.concatenate([x.reshape(-1) for x in mu]))
+    np.testing.assert_array_equal(
+        got[2], np.concatenate([x.reshape(-1) for x in nu]))
+
+
 def test_packed_feed_matches_direct_path():
     """train_step's packed single-buffer feed must match the direct
     device_put path: bit-identical for every key except X, whose packed
