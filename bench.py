@@ -628,11 +628,16 @@ def main():
     params = init_params(jax.random.PRNGKey(0), fwd_cfg)
 
     edges = B * L * K
-    # Measure the hardware ceilings first — they anchor the roofline rows.
+    # Headline (with-feed) train step FIRST: the peak benches leave the
+    # relay's transfer path degraded for the rest of the process (measured:
+    # the same with-feed loop is 50.8 ms after the peaks vs ~44 before,
+    # device-resident unchanged), so the feed-sensitive measurement must
+    # precede them. The end-of-run re-measure keeps the better period.
+    train_stats, train_cost = bench_train_step(train_cfg, np_batch)
+
+    # Hardware ceilings — they anchor the roofline rows.
     peak = bench_peak_tflops()
     peak_bw = bench_peak_hbm_gbs()
-
-    train_stats, train_cost = bench_train_step(train_cfg, np_batch)
     train_s = train_stats["min"]
     train_edges_per_s = edges / train_s
 
@@ -671,8 +676,16 @@ def main():
         f"{train_edges_per_s * 197.0 / max(peak, 1e-9):.4g}")
 
     # The relay serves multi-minute degraded periods (same step measured
-    # 73.7 vs 97 ms an hour apart); re-measure the headline at the END of
-    # the run and keep the better period, reporting the temporal spread.
+    # 73.7 vs 97 ms an hour apart; a round-5 run caught the sampler rows
+    # 2x degraded while the decomposition section was clean); re-measure
+    # the sampler/spec/batch-design sections AND the headline at the END
+    # of the run and keep each metric's better period (equivalent to
+    # best-of-more-windows spread over time).
+    for fn in (bench_sampler, bench_spec_sampler, bench_batch_design):
+        redo = fn(fwd_cfg, params)
+        for k, v in redo.items():
+            better = max if k.endswith("per_s") else min
+            extra[k] = better(extra[k], v)
     train_stats2, _ = bench_train_step(train_cfg, np_batch)
     extra["train_step_ms_rerun"] = float(f"{train_stats2['min'] * 1e3:.4g}")
     extra["train_step_temporal_spread"] = float(
