@@ -394,6 +394,77 @@ def test_packed_feed_noise_free_config_keeps_f32_coords():
                                   np.asarray(arrays["X"], np.float32))
 
 
+def test_packed_feed_wire_edge_cases():
+    """Edge cases of the low-entropy wire formats: all-ones masks must take
+    the bit-packed path, a last dim not divisible by 8 round-trips, and
+    coordinates near the +-327 A quantization cap delta-code exactly
+    (wraparound int16 deltas under the device-side wrapping cumsum)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from na_mpnn_tpu.models import ModelConfig
+    from na_mpnn_tpu.train.trainer import Trainer
+
+    t = Trainer(ModelConfig(dropout=0.1, protein_augment_eps=0.1,
+                            dna_augment_eps=0.1, rna_augment_eps=0.1,
+                            compute_dtype="float32", kernels="xla"), seed=0)
+    assert t._quantize_x
+    rng = np.random.RandomState(0)
+    B, L, nA = 2, 21, 16   # L=21: bits pad within the last byte
+    arrays = {
+        # big jumps between consecutive residues exercise int16 delta wrap
+        "X": (rng.rand(B, L, nA, 3).astype(np.float32) * 650.0 - 325.0),
+        "X_m": np.ones([B, L, nA], np.int32),           # all-ones -> bits
+        "mask": np.ones([B, L], np.int32),              # all-ones -> bits
+        "S": rng.randint(0, 33, (B, L)).astype(np.int64),
+        "R_idx": np.arange(L, dtype=np.int32)[None].repeat(B, 0),
+        "protein_mask": rng.randint(0, 2, (B, L)).astype(np.int32),
+    }
+    packed, layout = t._pack_np_batch(arrays)
+    wire = {e[0]: e[3] for e in layout}
+    assert wire["X"] == "q16x100d"
+    assert wire["X_m"] == "bits" and wire["mask"] == "bits"
+    out = jax.jit(lambda p: Trainer._unpack_batch(p, layout))(
+        jnp.asarray(packed))
+    np.testing.assert_array_equal(np.asarray(out["X_m"]), arrays["X_m"])
+    np.testing.assert_array_equal(np.asarray(out["mask"]), arrays["mask"])
+    np.testing.assert_array_equal(np.asarray(out["protein_mask"]),
+                                  arrays["protein_mask"])
+    # delta-coded coords: exact to the 0.01-A quantization (plus f32
+    # rounding of x*100 and the 0.01 rescale at |x|~300)
+    assert np.max(np.abs(np.asarray(out["X"]) - arrays["X"])) <= 0.00502
+
+
+def test_repad_length_matches_collate_fills():
+    """repad_length must extend a collated batch with the same fill values
+    collate_batch writes (PAD tokens, -100 R_idx, -1 chain labels)."""
+    import numpy as np
+    from na_mpnn_tpu import constants
+    from na_mpnn_tpu.train.collate import collate_batch, repad_length
+
+    L, nA = 5, 16
+    s = {
+        "X": np.ones([L, nA, 3], np.float32),
+        "X_m": np.ones([L, nA], np.int32),
+        "S": np.zeros([L], np.int64),
+        "R_idx": np.arange(L, dtype=np.int32),
+        "chain_labels": np.zeros([L], np.int64),
+        "protein_mask": np.ones([L], np.int32),
+        "dna_mask": np.zeros([L], np.int32),
+        "rna_mask": np.zeros([L], np.int32),
+        "R_polymer_type": np.zeros([L], np.int64),
+    }
+    short = collate_batch([s], pad_to=8)
+    wide = collate_batch([s], pad_to=16)
+    repadded = repad_length(short, 16)
+    for k, v in wide.items():
+        if isinstance(v, np.ndarray):
+            np.testing.assert_array_equal(repadded[k], v, err_msg=k)
+    assert int(repadded["S"][0, -1]) == constants.RESTYPE_TO_INT["PAD"]
+    assert int(repadded["R_idx"][0, -1]) == -100
+    assert repad_length(wide, 16) is wide  # no-op path
+
+
 def test_packed_feed_layout_pins_prevent_oscillation():
     """Integer widths only widen and zero-skip is one-way, so batches that
     straddle a narrowing threshold reuse ONE layout (no recompile storm)."""
